@@ -1,0 +1,108 @@
+"""Shrunk-covariance DCA features (the 442-channel pair input).
+
+TPU-first restatement of the reference math (reference: dmpfold/predict.py:41-61):
+weighted covariance of the flattened one-hot MSA, ridge-regularized, inverted,
+rearranged to per-pair coupling blocks, plus one APC-corrected contact channel.
+
+Key deviations from the reference implementation (behavior preserved):
+
+  * The regularized covariance is symmetric positive definite by construction,
+    so the default inverse is Cholesky-based (factor once, two triangular
+    solves) instead of LU — roughly half the FLOPs and numerically stabler.
+    ``method="lu"`` falls back to ``jnp.linalg.inv`` for bit-fidelity checks.
+  * Fully shape-static and mask-aware: padded MSA rows carry zero weight and
+    padded residue columns are zero in the one-hot, which makes the padded
+    covariance exactly block-diagonal — the valid block of the inverse equals
+    the unpadded inverse exactly, and the padded block (a multiple of the
+    identity) is masked out of the emitted features.
+
+All statistics that the reference computes over the *true* number of
+sequences (``weights.mean()``) take ``nseqs`` explicitly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NUM_DCA_CHANNELS = 442  # 21*21 couplings + 1 APC-corrected contact channel
+
+
+def _spd_inverse(mat, method: str):
+    if method == "lu":
+        return jnp.linalg.inv(mat)
+    # Cholesky inverse: mat = L L^T  =>  inv = L^-T L^-1
+    chol = jnp.linalg.cholesky(mat)
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    linv = jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True)
+    return linv.T @ linv
+
+
+@partial(jax.jit, static_argnames=("method",))
+def fast_dca(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky"):
+    """DCA couplings + contacts -> (L, L, 442) float32.
+
+    Args:
+      msa1hot: (N, L, 21) masked one-hot (padding rows/cols zero).
+      weights: (N,) reweighting from :func:`features.msa.reweight` (padding zero).
+      nseqs:   true sequence count (scalar, may be traced).
+      nres:    true residue count (scalar, may be traced).
+    """
+    n_pad, l_pad, ns = msa1hot.shape
+    x = msa1hot.reshape(n_pad, l_pad * ns)
+    # The (21L)^2 inverse amplifies matmul error; on TPU the default f32
+    # matmul precision is bf16-pass based, so pin full fp32 here.
+    with jax.default_matmul_precision("highest"):
+        return _fast_dca_body(x, weights, nseqs, nres, l_pad, ns, penalty, method)
+
+
+def _fast_dca_body(x, weights, nseqs, nres, l_pad, ns, penalty, method):
+
+    wsum = jnp.sum(weights)
+    wmean = wsum / jnp.asarray(nseqs, jnp.float32)
+    num_points = wsum - jnp.sqrt(wmean)
+
+    mean = jnp.sum(x * weights[:, None], axis=0, keepdims=True) / num_points
+    xc = (x - mean) * jnp.sqrt(weights[:, None])
+
+    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32) / num_points
+    ridge = penalty / jnp.sqrt(wsum)
+    cov_reg = cov + jnp.eye(l_pad * ns, dtype=cov.dtype) * ridge
+
+    inv_cov = _spd_inverse(cov_reg, method)
+
+    x1 = inv_cov.reshape(l_pad, ns, l_pad, ns)
+    features = jnp.transpose(x1, (0, 2, 1, 3)).reshape(l_pad, l_pad, ns * ns)
+
+    off_diag = 1.0 - jnp.eye(l_pad, dtype=jnp.float32)
+    # couplings over the 20 aa classes only (class 20 = ambiguous/gap dropped)
+    x3 = jnp.sqrt(jnp.sum(x1[:, :-1, :, :-1] ** 2, axis=(1, 3))) * off_diag
+    apc = (
+        jnp.sum(x3, axis=0, keepdims=True)
+        * jnp.sum(x3, axis=1, keepdims=True)
+        / jnp.sum(x3)
+    )
+    contacts = (x3 - apc) * off_diag
+
+    out = jnp.concatenate([features, contacts[:, :, None]], axis=2)
+    # zero everything outside the valid LxL block (incl. the 1/ridge padding diag)
+    col_mask = jnp.arange(l_pad) < nres
+    return out * (col_mask[:, None, None] & col_mask[None, :, None])
+
+
+def dca_or_zero(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky"):
+    """Reference behavior for single-sequence inputs: zero features.
+
+    (reference: dmpfold/predict.py:139 — ``if nseqs > 1 else zeros``)
+    """
+    l_pad = msa1hot.shape[1]
+
+    def compute(_):
+        return fast_dca(msa1hot, weights, nseqs, nres, penalty=penalty, method=method)
+
+    def zeros(_):
+        return jnp.zeros((l_pad, l_pad, NUM_DCA_CHANNELS), jnp.float32)
+
+    return jax.lax.cond(jnp.asarray(nseqs) > 1, compute, zeros, None)

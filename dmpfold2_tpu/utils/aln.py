@@ -1,0 +1,61 @@
+"""Alignment (.aln / FASTA-ish) parsing and residue encoding.
+
+Reproduces the reference encoding (reference: dmpfold/predict.py:100-134):
+  * lines starting with '>' are skipped, others are alignment rows
+  * residue characters are mapped through the 28-character translate table
+      'ARNDCQEGHILKMFPSTWYVBJOUXZ-.' -> 'ABCDEFGHIJKLMNOPQRSTUUUUUUVV'
+    giving integer classes 0-19 for the 20 amino acids, 20 for ambiguous
+    residues (B/J/O/U/X/Z) and 21 for gaps ('-' or '.')
+  * the MSA is capped at MAX_SEQS (3000) rows.
+
+Everything here is host-side numpy; device code consumes the int array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# residue-order used by the reference model (index == encoded class)
+AA_ORDER = "ARNDCQEGHILKMFPSTWYV"
+AMBIG_CLASS = 20
+GAP_CLASS = 21
+NUM_CLASSES = 22  # 20 aa + ambiguous + gap
+
+GLYCINE = AA_ORDER.index("G")  # == 7; glycine has no CB atom
+
+MAX_SEQS = 3000
+
+_TRANS = str.maketrans("ARNDCQEGHILKMFPSTWYVBJOUXZ-.", "ABCDEFGHIJKLMNOPQRSTUUUUUUVV")
+
+AA3 = [
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+]
+
+
+def encode_rows(rows: list[str]) -> np.ndarray:
+    """Encode alignment rows (equal-length strings) to an (nseqs, nres) uint8 array."""
+    if not rows:
+        raise ValueError("empty alignment")
+    length = len(rows[0])
+    for r in rows:
+        if len(r) != length:
+            raise ValueError("alignment rows have unequal lengths")
+    joined = "".join(rows).translate(_TRANS).encode("latin-1")
+    mat = np.frombuffer(joined, dtype=np.uint8) - ord("A")
+    return mat.reshape(len(rows), length)
+
+
+def parse_aln(path: str, max_seqs: int = MAX_SEQS) -> np.ndarray:
+    """Parse an aln file into an (nseqs, nres) uint8 matrix of residue classes."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            if not line.startswith(">"):
+                stripped = line.rstrip()
+                if stripped:
+                    rows.append(stripped)
+    mat = encode_rows(rows)
+    if mat.shape[0] > max_seqs:
+        mat = mat[:max_seqs]
+    return mat

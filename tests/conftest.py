@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+The container's sitecustomize registers the TPU ('axon') backend and pins
+JAX_PLATFORMS=axon before any test code runs, so plain env vars are too
+late — we switch the platform through jax.config before any backend client
+is instantiated. XLA_FLAGS is only read at client creation, so setting it
+here still yields 8 virtual CPU devices for sharding tests.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# deterministic, highest-precision matmuls for parity tests on CPU
+jax.config.update("jax_default_matmul_precision", "highest")

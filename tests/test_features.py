@@ -1,0 +1,129 @@
+"""Feature pipeline parity vs torch-math oracles.
+
+The oracles re-state the reference formulas (dmpfold/predict.py:32-61) with
+torch library ops; our masked/padded JAX implementations must match them on
+the valid region and be invariant to padding.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from dmpfold2_tpu.features.msa import msa_one_hot, reweight
+from dmpfold2_tpu.features.dca import dca_or_zero, fast_dca
+from dmpfold2_tpu.utils import aln
+
+EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+
+
+def torch_reweight(msa1hot, cutoff=0.8):
+    id_min = msa1hot.shape[1] * cutoff
+    id_mtx = torch.einsum("ikl,jkl->ij", msa1hot, msa1hot)
+    return 1.0 / (id_mtx > id_min).float().sum(dim=-1)
+
+
+def torch_fast_dca(msa1hot, weights, penalty=4.5):
+    nr, nc, ns = msa1hot.shape
+    x = msa1hot.view(nr, -1)
+    num_points = weights.sum() - torch.sqrt(weights.mean())
+    mean = (x * weights[:, None]).sum(dim=0, keepdims=True) / num_points
+    x = (x - mean) * torch.sqrt(weights[:, None])
+    cov = (x.t() @ x) / num_points
+    cov_reg = cov + torch.eye(nc * ns) * penalty / torch.sqrt(weights.sum())
+    inv_cov = torch.inverse(cov_reg)
+    x1 = inv_cov.view(nc, ns, nc, ns)
+    features = x1.transpose(1, 2).contiguous().reshape(nc, nc, ns * ns)
+    x3 = torch.sqrt((x1[:, :-1, :, :-1] ** 2).sum(dim=(1, 3))) * (1 - torch.eye(nc))
+    apc = x3.sum(dim=0, keepdims=True) * x3.sum(dim=1, keepdims=True) / x3.sum()
+    contacts = (x3 - apc) * (1 - torch.eye(nc))
+    return torch.cat((features, contacts[:, :, None]), dim=2)
+
+
+@pytest.fixture(scope="module")
+def small_msa():
+    mat = aln.parse_aln(EXAMPLE_ALN)[:40, :30].copy()
+    return mat
+
+
+def test_one_hot_matches_torch(small_msa):
+    n, l = small_msa.shape
+    ours = np.asarray(msa_one_hot(jnp.asarray(small_msa), n, l))
+    theirs = torch.nn.functional.one_hot(
+        torch.clamp(torch.from_numpy(small_msa.astype(np.int64)), max=20), 21
+    ).float()
+    np.testing.assert_array_equal(ours, theirs.numpy())
+
+
+def test_one_hot_padding_zeroed(small_msa):
+    n, l = small_msa.shape
+    padded = np.zeros((n + 8, l + 6), dtype=np.uint8)
+    padded[:n, :l] = small_msa
+    oh = np.asarray(msa_one_hot(jnp.asarray(padded), n, l))
+    assert oh[n:].sum() == 0
+    assert oh[:, l:].sum() == 0
+
+
+def test_reweight_matches_torch(small_msa):
+    n, l = small_msa.shape
+    oh = msa_one_hot(jnp.asarray(small_msa), n, l)
+    ours = np.asarray(reweight(oh, l))
+    theirs = torch_reweight(
+        torch.nn.functional.one_hot(
+            torch.clamp(torch.from_numpy(small_msa.astype(np.int64)), max=20), 21
+        ).float()
+    )
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-6)
+
+
+def test_reweight_padding_invariant(small_msa):
+    n, l = small_msa.shape
+    padded = np.zeros((n + 8, l + 6), dtype=np.uint8)
+    padded[:n, :l] = small_msa
+    oh = msa_one_hot(jnp.asarray(small_msa), n, l)
+    oh_pad = msa_one_hot(jnp.asarray(padded), n, l)
+    w = np.asarray(reweight(oh, l))
+    w_pad = np.asarray(reweight(oh_pad, l))
+    np.testing.assert_allclose(w_pad[:n], w, rtol=1e-6)
+    assert w_pad[n:].sum() == 0
+
+
+@pytest.mark.parametrize("method", ["cholesky", "lu"])
+def test_fast_dca_matches_torch(small_msa, method):
+    n, l = small_msa.shape
+    oh = msa_one_hot(jnp.asarray(small_msa), n, l)
+    w = reweight(oh, l)
+    ours = np.asarray(fast_dca(oh, w, n, l, method=method))
+
+    oh_t = torch.nn.functional.one_hot(
+        torch.clamp(torch.from_numpy(small_msa.astype(np.int64)), max=20), 21
+    ).float()
+    w_t = torch_reweight(oh_t)
+    theirs = torch_fast_dca(oh_t, w_t).numpy()
+    # (21L)^2 inverse: allow small numerical slack between LAPACK and our path
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_dca_padding_invariant(small_msa):
+    n, l = small_msa.shape
+    padded = np.zeros((n + 8, l + 6), dtype=np.uint8)
+    padded[:n, :l] = small_msa
+    oh = msa_one_hot(jnp.asarray(small_msa), n, l)
+    w = reweight(oh, l)
+    base = np.asarray(fast_dca(oh, w, n, l))
+
+    oh_p = msa_one_hot(jnp.asarray(padded), n, l)
+    w_p = reweight(oh_p, l)
+    out = np.asarray(fast_dca(oh_p, w_p, n, l))
+    np.testing.assert_allclose(out[:l, :l], base, atol=1e-4, rtol=1e-3)
+    assert np.all(out[l:] == 0) and np.all(out[:, l:] == 0)
+
+
+def test_dca_single_sequence_zero(small_msa):
+    l = small_msa.shape[1]
+    one = small_msa[:1]
+    oh = msa_one_hot(jnp.asarray(one), 1, l)
+    w = reweight(oh, l)
+    out = np.asarray(dca_or_zero(oh, w, 1, l))
+    assert out.shape == (l, l, 442)
+    assert out.sum() == 0
