@@ -1,0 +1,156 @@
+"""Geometry ops: MDS coordinate seeding, CA-trace refinement, backbone completion.
+
+Mask-aware, shape-static reformulations of the reference geometry
+(reference: dmpfold/network.py:106-177, 241-250). Everything runs device-side
+under jit; trip counts may be traced scalars (`lax.fori_loop`) for inference
+or static ints (`lax.scan`) when reverse-mode gradients are needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+VDW_DIST = 3.0
+COV_DIST = 3.78
+K_VDW = 100.0
+K_COV = 100.0
+STEP_SIZE = 0.001
+
+
+def _normalize(v, eps: float = 1e-12):
+    # F.normalize semantics: v / max(||v||, eps)
+    n = jnp.sqrt(jnp.sum(jnp.square(v), axis=-1, keepdims=True))
+    return v / jnp.maximum(n, eps)
+
+
+def mds_coords(dm, nres=None, n_dims: int = 8):
+    """Distance-map channel -> top-``n_dims`` MDS embedding (L, n_dims).
+
+    Mirrors reference network.py:241-250: symmetrize, abs, Gram matrix from
+    the first row/column, eigendecomposition, coordinates from the largest
+    eigenpairs. Padded rows/cols are zeroed before ``eigh`` so the valid
+    block's spectrum is preserved exactly (padding adds exact-zero
+    eigenvalues whose eigenvectors vanish on the valid region).
+    """
+    l_pad = dm.shape[-1]
+    dm = 0.5 * (dm + dm.T)
+    dm = jnp.abs(dm)
+    gram = 0.5 * (jnp.square(dm[0:1, :]) + jnp.square(dm[:, 0:1]) - jnp.square(dm))
+    if nres is not None:
+        col = jnp.arange(l_pad) < nres
+        gram = gram * (col[:, None] & col[None, :])
+    w, v = jnp.linalg.eigh(gram)
+    w8 = jnp.maximum(w[-n_dims:], 1e-8)  # == clamp(relu(w), min=1e-8)
+    v8 = v[:, -n_dims:]
+    # eigh signs are implementation-arbitrary (the reference inherits LAPACK's);
+    # canonicalize deterministically: largest-|component| of each vector > 0.
+    comp = jnp.take_along_axis(v8, jnp.argmax(jnp.abs(v8), axis=0)[None, :], axis=0)[0]
+    sign = jnp.where(comp < 0, -1.0, 1.0)
+    return v8 * sign * jnp.sqrt(w8)
+
+
+def _refine_step(coords, valid, adj_valid):
+    """One Euler step of the reference force field (network.py:111-135)."""
+    # steric repulsion below VDW_DIST, all pairs
+    diffs = coords[None, :, :] - coords[:, None, :]  # diffs[i, j] = c[j] - c[i]
+    sq = jnp.sum(jnp.square(diffs), axis=2)
+    dists = jnp.clip(jnp.sqrt(jnp.maximum(sq, 1e-12)), 0.01, 10.0)
+    norm_diffs = diffs / dists[:, :, None]
+    violate = jnp.where(dists < VDW_DIST, VDW_DIST - dists, 0.0)
+    violate = violate * (valid[:, None] & valid[None, :])
+    accels = jnp.sum(K_VDW * violate[:, :, None] * norm_diffs, axis=0)
+
+    # adjacent-CA spring toward COV_DIST
+    adiffs = coords[1:] - coords[:-1]
+    adists = jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(adiffs), axis=1), 1e-12)), 0.1)
+    anorm = adiffs / adists[:, None]
+    aviolate = jnp.minimum(adists - COV_DIST, 3.0) * adj_valid
+    acc_cov = K_COV * aviolate[:, None] * anorm
+    accels = accels.at[:-1].add(acc_cov)
+    accels = accels.at[1:].add(-acc_cov)
+
+    return coords + jnp.clip(accels, -100.0, 100.0) * STEP_SIZE
+
+
+def refine_coords(coords, n_steps, nres=None):
+    """Iterative CA-trace refinement; ``n_steps`` may be a traced scalar.
+
+    ``coords``: (L, 3). Padded positions receive zero force and exert none.
+    """
+    l_pad = coords.shape[0]
+    idx = jnp.arange(l_pad)
+    valid = idx < nres if nres is not None else jnp.ones((l_pad,), bool)
+    adj_valid = (idx[:-1] + 1 < nres) if nres is not None else jnp.ones((l_pad - 1,), bool)
+
+    if isinstance(n_steps, int):
+        def body(c, _):
+            return _refine_step(c, valid, adj_valid), None
+        out, _ = jax.lax.scan(body, coords, None, length=n_steps)
+        return out
+    return jax.lax.fori_loop(
+        0, n_steps, lambda _, c: _refine_step(c, valid, adj_valid), coords
+    )
+
+
+def calpha_to_main_chain(ca, nres=None):
+    """Levitt-method backbone completion: (L, 3) CA trace -> (L, 5, 3) N/CA/C/O/CB.
+
+    Per-position restatement of reference network.py:141-177. The original
+    concatenates dummy terminal CAs and shifts slices; here the terminal
+    dummies are dynamic gathers at the true chain end so padded tails don't
+    participate. With ``nres == L`` the outputs match the reference formulas
+    exactly.
+    """
+    l_pad = ca.shape[0]
+    last = (jnp.asarray(nres) - 1) if nres is not None else jnp.asarray(l_pad - 1)
+    idx = jnp.arange(l_pad)
+
+    take = lambda i: jnp.take(ca, i, axis=0, mode="clip")
+    ca_last, ca_last1, ca_last2 = take(last), take(last - 1), take(last - 2)
+
+    # dummy terminal CAs at 3.82 Å along the local cross product
+    nterm = ca[0] + 3.82 * _normalize(jnp.cross(ca[0] - ca[1], ca[2] - ca[1]))
+    cterm = ca_last + 3.82 * _normalize(
+        jnp.cross(ca_last - ca_last1, ca_last2 - ca_last1)
+    )
+
+    prev = jnp.concatenate([nterm[None], ca[:-1]], axis=0)  # prev[i] = ca[i-1]
+    nxt = jnp.concatenate([ca[1:], ca[-1:]], axis=0)        # nxt[i] = ca[i+1]
+    nxt = jnp.where((idx == last)[:, None], cterm[None], nxt)
+
+    vec_can = prev - ca
+    vec_cac = nxt - ca
+    crossv = _normalize(jnp.cross(vec_can, vec_cac))
+    mid = 0.5 * (ca + prev)
+
+    coords_n = mid - vec_can / 8.0 + crossv / 4.0
+
+    c_shift = mid + vec_can / 8.0 - crossv / 2.0
+    o_shift = mid - 1.8 * crossv
+    c_next = jnp.concatenate([c_shift[1:], c_shift[-1:]], axis=0)
+    o_next = jnp.concatenate([o_shift[1:], o_shift[-1:]], axis=0)
+
+    cross_last = jnp.take(crossv, last, axis=0, mode="clip")
+    mid_end = 0.5 * (cterm + ca_last)
+    c_cterm = mid_end - (cterm - ca_last) / 8.0 + cross_last / 2.0
+    o_cterm = mid_end + 2.0 * cross_last
+
+    at_last = (idx == last)[:, None]
+    coords_c = jnp.where(at_last, c_cterm[None], c_next)
+    coords_o = jnp.where(at_last, o_cterm[None], o_next)
+
+    # CB via tetrahedral construction from N, C, CA
+    vec_n_ca = ca - coords_n
+    vec_c_ca = ca - coords_c
+    cross_nc = jnp.cross(vec_n_ca, vec_c_ca)
+    vec_ca_cb = vec_n_ca + vec_c_ca
+    ang = jnp.pi / 2.0 - jnp.arcsin(1.0 / jnp.sqrt(3.0))
+    norm = lambda v: jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(v), axis=-1, keepdims=True), 1e-24))
+    sx = 1.5 * jnp.cos(ang) / norm(vec_ca_cb)
+    sy = 1.5 * jnp.sin(ang) / norm(cross_nc)
+    coords_cb = ca + sx * vec_ca_cb + sy * cross_nc
+
+    return jnp.stack([coords_n, ca, coords_c, coords_o, coords_cb], axis=1)

@@ -1,0 +1,159 @@
+"""GRUResNet: the end-to-end folding network (MSA -> coordinates + confidence).
+
+TPU-native re-design of the reference model (reference: dmpfold/network.py:181-314):
+
+  MSA rows --[2-layer GRU over rows, final state]--> per-residue embedding (L, 512)
+  --[2-layer biGRU over residues]--> mat1d --outer product--> (L, L, 512)
+  concat [pair | DCA 442 | dmap 1] -> 2D trunk -> distance map + confidence
+  -> MDS eigendecomposition -> coords head (3-layer biGRU + linear)
+  -> recycling (device-resident fori_loop, best-confidence tracking)
+  -> CA refinement -> backbone completion.
+
+The whole forward (including recycling and refinement) compiles to a single
+XLA program; trip counts (nloops, refine_steps) are traced scalars so one
+compilation serves every CLI setting at a given shape bucket.
+
+Shapes are padded/masked: (n_pad, l_pad) are static bucket shapes, while
+(nseqs, nres) are the true sizes. Outputs at padded positions are garbage and
+must be sliced off by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import gru
+from .geometry import calpha_to_main_chain, mds_coords, refine_coords
+from .trunk import TRUNK_IN_CHANNELS, trunk_apply, trunk_params
+
+NUM_AA_CLASSES = 22  # 20 aa + ambiguous + gap (network embedding keeps all 22)
+WIDTH = 512
+CWIDTH = 128
+
+
+def init_params(key, width: int = WIDTH, cwidth: int = CWIDTH):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "vgru": gru.unigru_stack_params(k1, 2, NUM_AA_CLASSES, width),
+        "hgru": gru.bigru_stack_params(k2, 2, width, width // 2),
+        "trunk": trunk_params(k3, TRUNK_IN_CHANNELS, cwidth),
+        "coord_gru": gru.bigru_stack_params(k4, 3, width + 8, width // 2),
+        "coord_fc": jax.random.uniform(
+            k5, (width, 3), jnp.float32,
+            -1.0 / jnp.sqrt(jnp.asarray(width, jnp.float32)),
+            1.0 / jnp.sqrt(jnp.asarray(width, jnp.float32)),
+        ),
+    }
+
+
+class TrunkHeads(NamedTuple):
+    dm: jax.Array      # (L, L) raw distance-map channel
+    conf: jax.Array    # (L,) per-residue confidence logits
+
+
+def _trunk_heads(params, resinp, nres, pair_mask, row_mask, *, dropout_rng=None,
+                 remat: bool = False) -> TrunkHeads:
+    out = trunk_apply(params["trunk"], resinp[None], pair_mask[None, :, :, None],
+                      dropout_rng=dropout_rng, remat=remat)[0]
+    dm = out[:, :, 0]
+    conf = jnp.sum(out[:, :, 1] * row_mask[None, :], axis=1) / nres
+    return TrunkHeads(dm, conf)
+
+
+def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
+    mds = mds_coords(dm, nres)
+    coordembed = jnp.concatenate([mat1d, mds], axis=1)  # (L, 520)
+    gru_out = gru.bigru_stack(
+        params["coord_gru"], coordembed[:, None, :], valid_len,
+        dropout_rate=0.1 if dropout_rng is not None else 0.0, rng=dropout_rng,
+    )[:, 0, :]
+    return gru_out @ params["coord_fc"]  # (L, 3)
+
+
+def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
+            rngs=None, remat: bool = False):
+    """Run the full network.
+
+    Args:
+      params: pytree from :func:`init_params` (or the weights converter).
+      alnmat: (n_pad, l_pad) int residue classes (0-21), right-padded.
+      x2: (l_pad, l_pad, 443) pair features [DCA 442 | dmap seed 1], padded
+          region zero.
+      nseqs, nres: true sizes (scalars, may be traced).
+      nloops, refine_steps: recycling iterations / refinement steps (traced).
+      rngs: optional dict of PRNG keys enabling train-time dropout
+            ({"hgru", "trunk", "coord", "recycle"}).
+      remat: checkpoint the trunk blocks (training memory saver).
+
+    Returns:
+      coords (l_pad, 5, 3) and confidence (l_pad,) — valid through nres.
+    """
+    n_pad, l_pad = alnmat.shape
+    row_mask = jnp.arange(l_pad) < nres
+    pair_mask = row_mask[:, None] & row_mask[None, :]
+
+    # --- MSA embedding: vertical GRU over rows, horizontal biGRU over residues
+    x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
+    seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs)  # (L, 512)
+    hrng = rngs.get("hgru") if rngs else None
+    mat1d = gru.bigru_stack(
+        params["hgru"], seq_embed[:, None, :], nres,
+        dropout_rate=0.1 if hrng is not None else 0.0, rng=hrng,
+    )[:, 0, :]
+    mat1d = mat1d * row_mask[:, None]
+
+    pair = mat1d[:, None, :] * mat1d[None, :, :]  # (L, L, 512)
+    resinp_base = jnp.concatenate([pair, x2[:, :, :-1]], axis=2)  # 954 channels
+
+    def run_iteration(dmap_channel, dropout_rng=None):
+        trunk_rng = coord_rng = None
+        if dropout_rng is not None:
+            trunk_rng, coord_rng = jax.random.split(dropout_rng)
+        resinp = jnp.concatenate([resinp_base, dmap_channel[:, :, None]], axis=2)
+        heads = _trunk_heads(params, resinp, nres, pair_mask, row_mask,
+                             dropout_rng=trunk_rng, remat=remat)
+        ca = _coords_head(params, mat1d, heads.dm, nres, nres,
+                          dropout_rng=coord_rng)
+        return ca, heads.conf
+
+    # --- initial pass: dmap channel from x2 (template distances or -1 fill)
+    rng0 = rngs.get("init") if rngs else None
+    ca_coords, conf = run_iteration(x2[:, :, -1], rng0)
+    ca_coords = refine_coords(ca_coords, refine_steps, nres)
+    best_conf, best_coords = conf, ca_coords
+    best_mean = jnp.sum(conf * row_mask) / nres
+
+    # --- recycling: feed predicted distances back as the last input channel
+    def recycle_body(i, carry):
+        ca, best_mean, best_conf, best_coords = carry
+        diffs = ca[:, None, :] - ca[None, :, :]
+        dmap = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(diffs), axis=2), 1e-8))
+        dmap = dmap * pair_mask
+        if rngs and rngs.get("recycle") is not None:
+            it_rng = jax.random.fold_in(rngs["recycle"], i)
+        else:
+            it_rng = None
+        ca_new, conf_new = run_iteration(dmap, it_rng)
+        mean_new = jnp.sum(conf_new * row_mask) / nres
+        better = mean_new > best_mean
+        return (
+            ca_new,
+            jnp.where(better, mean_new, best_mean),
+            jnp.where(better, conf_new, best_conf),
+            jnp.where(better, ca_new, best_coords),
+        )
+
+    carry = (ca_coords, best_mean, best_conf, best_coords)
+    if isinstance(nloops, int):
+        for i in range(nloops):
+            carry = recycle_body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
+    _, _, best_conf, best_coords = carry
+
+    best_coords = refine_coords(best_coords, refine_steps, nres)
+    coords_out = calpha_to_main_chain(best_coords, nres)
+    return coords_out, jax.nn.sigmoid(best_conf)

@@ -1,0 +1,131 @@
+"""End-to-end model parity: our JAX GRUResNet vs the torch oracle.
+
+Exercises the checkpoint converter (reference state-dict names/layouts) and
+the full forward composition: MSA GRUs, pair outer product, trunk, MDS,
+coords head, recycling, refinement, backbone completion.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from dmpfold2_tpu.models import geometry, gruresnet
+from dmpfold2_tpu.weights import convert_state_dict
+
+from torch_oracle import OracleGRUResNet, oracle_main_chain, oracle_refine
+
+WIDTH, CWIDTH, NBLOCKS = 64, 32, 4
+N, L = 12, 18
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(7)
+    return OracleGRUResNet(WIDTH, CWIDTH, NBLOCKS).eval()
+
+
+@pytest.fixture(scope="module")
+def params(oracle):
+    return convert_state_dict(oracle.state_dict(), num_blocks=NBLOCKS)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    aln = rng.integers(0, 22, size=(N, L)).astype(np.int32)
+    x2 = rng.normal(size=(L, L, 443)).astype(np.float32) * 0.1
+    x2 = (x2 + x2.transpose(1, 0, 2)) / 2  # symmetric pair features
+    return aln, x2
+
+
+def run_ours(params, aln, x2, nloops, refine_steps, n_pad=None, l_pad=None):
+    n, l = aln.shape
+    n_pad = n_pad or n
+    l_pad = l_pad or l
+    aln_p = np.zeros((n_pad, l_pad), np.int32)
+    aln_p[:n, :l] = aln
+    x2_p = np.zeros((l_pad, l_pad, 443), np.float32)
+    x2_p[:l, :l] = x2
+    coords, confs = gruresnet.forward(
+        params, jnp.asarray(aln_p), jnp.asarray(x2_p), n, l,
+        jnp.asarray(nloops), jnp.asarray(refine_steps),
+    )
+    return np.asarray(coords)[:l], np.asarray(confs)[:l]
+
+
+def run_oracle(oracle, aln, x2, nloops, refine_steps):
+    aln_t = torch.from_numpy(aln.astype(np.int64))
+    x2_t = torch.from_numpy(np.ascontiguousarray(x2.transpose(2, 0, 1)))[None]
+    refine_fn = (lambda c: oracle_refine(c, refine_steps)) if refine_steps else None
+    ca, confs = oracle(aln_t, x2_t, nloops, refine_fn)
+    coords = oracle_main_chain(ca)
+    return coords[0].numpy(), confs[0].numpy()
+
+
+@pytest.mark.parametrize("nloops,refine_steps", [(0, 0), (2, 0), (1, 5)])
+def test_forward_matches_oracle(oracle, params, inputs, nloops, refine_steps):
+    aln, x2 = inputs
+    ours_c, ours_conf = run_ours(params, aln, x2, nloops, refine_steps)
+    ref_c, ref_conf = run_oracle(oracle, aln, x2, nloops, refine_steps)
+    np.testing.assert_allclose(ours_conf, ref_conf, atol=2e-4)
+    np.testing.assert_allclose(ours_c, ref_c.reshape(L, 5, 3), atol=5e-3)
+
+
+def test_forward_padding_invariant(params, inputs):
+    aln, x2 = inputs
+    base_c, base_conf = run_ours(params, aln, x2, 1, 3)
+    pad_c, pad_conf = run_ours(params, aln, x2, 1, 3, n_pad=N + 6, l_pad=L + 10)
+    np.testing.assert_allclose(pad_conf, base_conf, atol=1e-4)
+    # fp32 eigh rounding differs between padded/unpadded shapes and is
+    # amplified through recycling + refinement; 2e-3 Å is far below any
+    # structural significance.
+    np.testing.assert_allclose(pad_c, base_c, atol=2e-3)
+
+
+def test_refine_matches_oracle():
+    rng = np.random.default_rng(3)
+    ca = (rng.normal(size=(25, 3)) * 4).astype(np.float32)
+    ours = np.asarray(geometry.refine_coords(jnp.asarray(ca), 20, 25))
+    ref = oracle_refine(torch.from_numpy(ca.copy()), 20).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_refine_padding_invariant():
+    rng = np.random.default_rng(4)
+    ca = (rng.normal(size=(25, 3)) * 4).astype(np.float32)
+    base = np.asarray(geometry.refine_coords(jnp.asarray(ca), 15, 25))
+    ca_pad = np.zeros((40, 3), np.float32)
+    ca_pad[:25] = ca
+    padded = np.asarray(geometry.refine_coords(jnp.asarray(ca_pad), 15, 25))
+    np.testing.assert_allclose(padded[:25], base, atol=1e-5)
+
+
+def test_main_chain_matches_oracle():
+    rng = np.random.default_rng(5)
+    ca = (rng.normal(size=(30, 3)) * 5).astype(np.float32)
+    ours = np.asarray(geometry.calpha_to_main_chain(jnp.asarray(ca), 30))
+    ref = oracle_main_chain(torch.from_numpy(ca.copy())[None])[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_main_chain_padding_invariant():
+    rng = np.random.default_rng(6)
+    ca = (rng.normal(size=(30, 3)) * 5).astype(np.float32)
+    base = np.asarray(geometry.calpha_to_main_chain(jnp.asarray(ca), 30))
+    ca_pad = np.zeros((45, 3), np.float32)
+    ca_pad[:30] = ca
+    padded = np.asarray(geometry.calpha_to_main_chain(jnp.asarray(ca_pad), 30))
+    np.testing.assert_allclose(padded[:30], base, atol=1e-5)
+
+
+def test_mds_padding_invariant():
+    rng = np.random.default_rng(8)
+    dm = np.abs(rng.normal(size=(20, 20))).astype(np.float32) * 5
+    base = np.asarray(geometry.mds_coords(jnp.asarray(dm), 20))
+    dm_pad = np.zeros((32, 32), np.float32)
+    dm_pad[:20, :20] = dm
+    padded = np.asarray(geometry.mds_coords(jnp.asarray(dm_pad), 20))
+    np.testing.assert_allclose(padded[:20], base, atol=2e-4)
+    assert np.abs(padded[20:]).max() < 1e-6
