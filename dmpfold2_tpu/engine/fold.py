@@ -1,0 +1,148 @@
+"""The folding engine: one jitted device program from MSA to structure.
+
+Everything after host-side parsing — one-hot, reweighting, DCA (including the
+(21L)² inverse), the GRU/trunk forward, recycling, refinement and backbone
+completion — runs inside a single XLA computation per shape bucket
+(reference pipeline: dmpfold/predict.py:74-158, which does the same work
+eagerly op-by-op in torch). Iteration counts are traced scalars, so changing
+``-n`` / ``-m`` does not recompile.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..features.dca import dca_or_zero
+from ..features.msa import msa_one_hot, reweight
+from ..models import gruresnet
+from ..utils import aln as aln_io
+from ..utils import pdb as pdb_io
+from .buckets import bucket_shape
+
+DEFAULT_ITERATIONS = 10
+DEFAULT_MINSTEPS = 100
+
+
+@partial(jax.jit, static_argnames=("dca_method",))
+def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
+                 dca_method="cholesky"):
+    """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
+    oh = msa_one_hot(alnmat, nseqs, nres)
+    w = reweight(oh, nres)
+    dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
+    x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
+    return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps)
+
+
+def _build_dmap_channel(l_pad: int, nres: int, template_ca: np.ndarray | None):
+    """Last input channel: template CA distance map, or -1 fill (predict.py:142-145).
+
+    Valid LxL region only; zero outside so padding is conv-equivalent to a
+    true boundary.
+    """
+    dmap = np.zeros((l_pad, l_pad), np.float32)
+    if template_ca is None:
+        dmap[:nres, :nres] = -1.0
+    else:
+        if template_ca.shape[0] != nres:
+            raise ValueError(
+                f"template has {template_ca.shape[0]} CA atoms but alignment "
+                f"has {nres} residues — lengths must match"
+            )
+        diffs = template_ca[:, None, :] - template_ca[None, :, :]
+        dmap[:nres, :nres] = np.sqrt((diffs ** 2).sum(-1))
+    return dmap
+
+
+@dataclass
+class Folder:
+    """Caches parameters on device and reuses compiled programs per bucket."""
+
+    params: dict
+    use_buckets: bool = True
+    dca_method: str = "cholesky"
+
+    def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,
+             iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
+        """Fold one target. Returns ((nres, 5, 3) coords, (nres,) confidences)."""
+        nseqs, nres = alnmat.shape
+        n_pad, l_pad = bucket_shape(nseqs, nres, self.use_buckets)
+        aln_p = np.zeros((n_pad, l_pad), np.int32)
+        aln_p[:nseqs, :nres] = alnmat
+        dmap = _build_dmap_channel(l_pad, nres, template_ca)
+        coords, confs = _fold_device(
+            self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
+            jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
+            dca_method=self.dca_method,
+        )
+        return np.asarray(coords[:nres]), np.asarray(confs[:nres])
+
+
+def _default_weight_paths():
+    modeldir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "trained_model")
+    paths = [os.path.join(modeldir, f"FINAL_fullmap_e2e_model_part{i}.pt") for i in (1, 2)]
+    return modeldir, paths
+
+
+def _download_trained_model(modeldir: str, paths):
+    """First-run fetch of the released reference weights (predict.py:64-71)."""
+    import sys
+    from urllib import request
+
+    print(f"Downloading trained model (~140 MB) as first time setup to {modeldir}, "
+          "internet connection required", file=sys.stderr)
+    os.makedirs(modeldir, exist_ok=True)
+    base = "https://github.com/psipred/DMPfold2/raw/master/dmpfold/trained_model"
+    for path in paths:
+        request.urlretrieve(f"{base}/{os.path.basename(path)}", path)
+
+
+def load_weights(weights_file: str | None = None):
+    """Resolve weights into a parameter pytree.
+
+    ``weights_file`` may be a native ``.npz`` (see weights.save_params), a
+    torch ``.pt`` state dict, or None for the released two-part checkpoint
+    (downloaded on first use, like the reference).
+    """
+    from .. import weights as weights_mod
+
+    if weights_file is not None:
+        if weights_file.endswith(".npz"):
+            return weights_mod.load_params(weights_file)
+        return weights_mod.load_torch_checkpoint([weights_file])
+
+    modeldir, paths = _default_weight_paths()
+    native = os.path.join(modeldir, "params.npz")
+    if os.path.isfile(native):
+        return weights_mod.load_params(native)
+    if not all(os.path.isfile(p) for p in paths):
+        _download_trained_model(modeldir, paths)
+    return weights_mod.load_torch_checkpoint(paths)
+
+
+def aln_to_coords(input_file: str, device=None, template: str | None = None,
+                  iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS,
+                  weights_file: str | None = None, return_alnmat: bool = False,
+                  params=None):
+    """Public API matching the reference (predict.py:74): aln file -> structure.
+
+    ``device`` is accepted for signature compatibility and ignored — JAX
+    places computation on the available accelerator. ``params`` short-circuits
+    weight loading (useful for batch callers holding a Folder).
+    """
+    alnmat = aln_io.parse_aln(input_file)
+    template_ca = pdb_io.parse_template_ca(template) if template is not None else None
+    if params is None:
+        params = load_weights(weights_file)
+    folder = Folder(params)
+    coords, confs = folder.fold(alnmat, template_ca, iterations, minsteps)
+    if return_alnmat:
+        return coords, confs, alnmat
+    return coords, confs

@@ -92,6 +92,29 @@ def convert_state_dict(sd, num_blocks: int = 16):
     }
 
 
+def save_params(path: str, params) -> None:
+    """Save a parameter pytree as a flat ``.npz`` (native checkpoint format)."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    np.savez(path, **arrays)
+
+
+def load_params(path: str):
+    """Load a ``.npz`` saved by :func:`save_params` back into the pytree."""
+    import jax
+
+    data = np.load(path)
+    # rebuild against a skeleton with the right structure
+    from .models.gruresnet import init_params
+
+    skeleton = init_params(jax.random.PRNGKey(0))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(kp)]) for kp, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_torch_checkpoint(paths):
     """Load and merge torch ``.pt`` shard(s), then convert.
 

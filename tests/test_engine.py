@@ -1,0 +1,90 @@
+"""Engine end-to-end tests on the bundled example with converted random weights."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+import jax
+
+from dmpfold2_tpu.engine.buckets import bucket_shape
+from dmpfold2_tpu.engine.fold import Folder, aln_to_coords
+from dmpfold2_tpu.utils import aln as aln_io
+from dmpfold2_tpu.weights import convert_state_dict, load_params, save_params
+
+from torch_oracle import OracleGRUResNet
+
+EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+EXAMPLE_PDB = "/root/reference/dmpfold/example/3FGX.pdb"
+
+
+@pytest.fixture(scope="module")
+def params():
+    torch.manual_seed(11)
+    oracle = OracleGRUResNet(512, 128, 16).eval()
+    return convert_state_dict(oracle.state_dict(), num_blocks=16)
+
+
+def test_bucket_shape():
+    assert bucket_shape(252, 82) == (256, 96)
+    assert bucket_shape(3000, 1536) == (3000, 1536)
+    assert bucket_shape(5000, 2000) == (5000, 2000)  # beyond buckets: exact
+    assert bucket_shape(252, 82, enable=False) == (252, 82)
+
+
+def test_fold_example_small_iterations(params):
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:60]  # trim MSA depth for CPU speed
+    folder = Folder(params)
+    coords, confs = folder.fold(alnmat, iterations=1, minsteps=5)
+    assert coords.shape == (82, 5, 3)
+    assert confs.shape == (82,)
+    assert np.isfinite(coords).all()
+    assert ((confs > 0) & (confs < 1)).all()
+    # CA-CA distances should be pulled toward the 3.78 A bond length scale
+    ca = coords[:, 1]
+    adj = np.linalg.norm(ca[1:] - ca[:-1], axis=1)
+    assert np.isfinite(adj).all()
+
+
+def test_fold_bucketing_invariance(params):
+    """Same target folded with/without bucket padding must agree."""
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:40]
+    exact = Folder(params, use_buckets=False)
+    padded = Folder(params, use_buckets=True)
+    c1, f1 = exact.fold(alnmat, iterations=1, minsteps=5)
+    c2, f2 = padded.fold(alnmat, iterations=1, minsteps=5)
+    np.testing.assert_allclose(f1, f2, atol=1e-4)
+    np.testing.assert_allclose(c1, c2, atol=5e-3)
+
+
+def test_api_with_npz_weights(tmp_path, params):
+    path = str(tmp_path / "params.npz")
+    save_params(path, params)
+    reloaded = load_params(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    coords, confs, alnmat = aln_to_coords(
+        EXAMPLE_ALN, iterations=0, minsteps=0, weights_file=path, return_alnmat=True
+    )
+    assert coords.shape == (82, 5, 3)
+    assert alnmat.shape == (252, 82)
+
+
+def test_template_length_validation(params):
+    from dmpfold2_tpu.utils.pdb import parse_template_ca
+
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:10]
+    template = parse_template_ca(EXAMPLE_PDB)  # 192 CAs != 82 residues
+    with pytest.raises(ValueError, match="lengths must match"):
+        Folder(params).fold(alnmat, template_ca=template, iterations=0, minsteps=0)
+
+
+def test_cli_help():
+    res = subprocess.run(
+        [sys.executable, "-c", "from dmpfold2_tpu.cli import run_dmpfold; run_dmpfold(['-h'])"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0
+    assert "--iterations" in res.stdout
