@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..parallel.sharding import shard_rows
+
 NUM_DCA_CLASSES = 21  # 20 aa + merged ambiguous/gap class
 
 
@@ -40,7 +42,10 @@ def msa_one_hot(alnmat, nseqs, nres):
     clamped = jnp.minimum(alnmat.astype(jnp.int32), 20)
     oh = jnp.asarray(clamped[..., None] == jnp.arange(NUM_DCA_CLASSES), jnp.float32)
     row_mask, col_mask = valid_masks((n_pad, l_pad), nseqs, nres)
-    return oh * row_mask[:, None, None] * col_mask[None, :, None]
+    # MSA rows shard over the 'seq' mesh axis when a sharding context is
+    # active: reweight's NxN identity matmul and DCA's covariance reduce
+    # over rows, so GSPMD turns them into partial matmuls + psum.
+    return shard_rows(oh * row_mask[:, None, None] * col_mask[None, :, None])
 
 
 def reweight(msa1hot, nres, cutoff: float = 0.8):

@@ -86,6 +86,9 @@ def refine_coords(coords, n_steps, nres=None):
     adj_valid = (idx[:-1] + 1 < nres) if nres is not None else jnp.ones((l_pad - 1,), bool)
 
     if isinstance(n_steps, int):
+        # static trip count: reverse-differentiable scan; checkpoint each
+        # step so 100-step refinement doesn't hold 100 O(L^2) residuals
+        @jax.checkpoint
         def body(c, _):
             return _refine_step(c, valid, adj_valid), None
         out, _ = jax.lax.scan(body, coords, None, length=n_steps)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import gru
+from ..parallel.sharding import shard_pair
 from .geometry import calpha_to_main_chain, mds_coords, refine_coords
 from .trunk import TRUNK_IN_CHANNELS, trunk_apply, trunk_params
 
@@ -34,12 +35,12 @@ WIDTH = 512
 CWIDTH = 128
 
 
-def init_params(key, width: int = WIDTH, cwidth: int = CWIDTH):
+def init_params(key, width: int = WIDTH, cwidth: int = CWIDTH, num_blocks: int = 16):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
         "vgru": gru.unigru_stack_params(k1, 2, NUM_AA_CLASSES, width),
         "hgru": gru.bigru_stack_params(k2, 2, width, width // 2),
-        "trunk": trunk_params(k3, TRUNK_IN_CHANNELS, cwidth),
+        "trunk": trunk_params(k3, 442 + width + 1, cwidth, num_blocks),
         "coord_gru": gru.bigru_stack_params(k4, 3, width + 8, width // 2),
         "coord_fc": jax.random.uniform(
             k5, (width, 3), jnp.float32,
@@ -106,7 +107,9 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     mat1d = mat1d * row_mask[:, None]
 
     pair = mat1d[:, None, :] * mat1d[None, :, :]  # (L, L, 512)
-    resinp_base = jnp.concatenate([pair, x2[:, :, :-1]], axis=2)  # 954 channels
+    resinp_base = shard_pair(
+        jnp.concatenate([pair, x2[:, :, :-1]], axis=2)
+    )  # 954 channels
 
     def run_iteration(dmap_channel, dropout_rng=None):
         trunk_rng = coord_rng = None

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.norm import masked_instance_norm, masked_spatial_mean
+from ..parallel.sharding import shard_pair
 
 NUM_DCA_CHANNELS = 442
 TRUNK_IN_CHANNELS = NUM_DCA_CHANNELS + 512 + 1  # 955
@@ -158,9 +159,10 @@ def trunk_params(key, in_channels: int = TRUNK_IN_CHANNELS, width: int = DEFAULT
 
 def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False):
     """(B, L, L, 955) -> (B, L, L, 2): distance-map + confidence channels."""
-    out = maxout2d(params["input"], x, pool=3, mask=mask)
+    out = maxout2d(params["input"], shard_pair(x), pool=3, mask=mask)
     if mask is not None:
         out = out * mask
+    out = shard_pair(out)
 
     num_blocks = jax.tree.leaves(params["blocks"])[0].shape[0]
     if dropout_rng is not None:
@@ -175,7 +177,7 @@ def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False):
         else:
             p, rng = block
             new = resnet_block(p, carry, mask, dropout_rng=rng)
-        return new, None
+        return shard_pair(new), None
 
     if remat:
         body = jax.checkpoint(body)

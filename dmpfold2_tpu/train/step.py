@@ -1,0 +1,120 @@
+"""Training step: teacher forcing, per-sample loss, DP-sharded batched update.
+
+Mirrors the reference training semantics (reference: dmpfold/train.py:230-374):
+random recycling depth, 100 in-graph refinement steps (differentiated through),
+50% teacher-forcing of the distance-map channel with noised ground-truth CAs,
+Adam, gradient accumulation. Differences, by design:
+
+  * Samples are padded to a common bucket and *batched* (vmap) instead of the
+    reference's one-at-a-time python loop — micro-batches shard across chips
+    over the mesh's ``data`` axis (net-new; the reference is single-GPU).
+  * The recycling count is drawn per micro-batch (must be static for reverse
+    -mode AD through the python-unrolled loop) instead of per sample.
+  * bf16 autocast+GradScaler is replaced by TPU-native bf16 policy (no loss
+    scaling needed for bf16) — off by default, fp32 otherwise.
+  * The reference's in-place noise bug (train.py:313-314 noises the loss
+    target's CA trace too) is reproduced when ``noise_targets=True`` (default,
+    matching reference behavior) and fixed when False.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import gruresnet
+from .loss import fold_loss
+
+REFINE_STEPS = 100
+MAX_ITERATIONS = 3  # reference train.py:30
+
+
+class TrainBatch(NamedTuple):
+    """One padded micro-batch of targets."""
+
+    alnmat: jax.Array   # (B, N, L) int32
+    dca: jax.Array      # (B, L, L, 442) precomputed DCA features
+    targets: jax.Array  # (B, L, 5, 3) ground-truth atoms
+    nseqs: jax.Array    # (B,)
+    nres: jax.Array     # (B,)
+
+
+def sample_loss(params, alnmat, dca, targets, nseqs, nres, rng, *,
+                nloops: int, refine_steps: int = REFINE_STEPS,
+                teacher_prob: float = 0.5, noise_targets: bool = True,
+                dropout: bool = True):
+    """Loss for one (padded) sample, differentiable through recycling+refinement."""
+    l_pad = alnmat.shape[1]
+    row_mask = jnp.arange(l_pad) < nres
+    pair_mask = row_mask[:, None] & row_mask[None, :]
+
+    rng_tf, rng_noise, rng_drop = jax.random.split(rng, 3)
+    # 50%: seed the dmap channel with a noised ground-truth CA distance map
+    use_tf = jax.random.bernoulli(rng_tf, teacher_prob)
+    noised_ca = targets[:, 1, :] + 0.5 * jax.random.normal(rng_noise, (l_pad, 3))
+    diffs = noised_ca[:, None, :] - noised_ca[None, :, :]
+    tf_dmap = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(diffs), 2), 1e-16)) * pair_mask
+    blank_dmap = jnp.where(pair_mask, -1.0, 0.0)
+    dmap_seed = jnp.where(use_tf, tf_dmap, blank_dmap)
+    if noise_targets:
+        # reference bug reproduction: the loss target's CA trace is the
+        # noised one whenever teacher forcing fires
+        targets = jnp.where(
+            use_tf,
+            targets.at[:, 1, :].set(noised_ca),
+            targets,
+        )
+
+    x2 = jnp.concatenate([dca, dmap_seed[:, :, None]], axis=2)
+    rngs = None
+    if dropout:
+        rngs = {
+            "hgru": jax.random.fold_in(rng_drop, 0),
+            "init": jax.random.fold_in(rng_drop, 1),
+            "recycle": jax.random.fold_in(rng_drop, 2),
+        }
+    coords, confs = gruresnet.forward(
+        params, alnmat, x2, nseqs, nres, nloops, refine_steps,
+        rngs=rngs, remat=True,
+    )
+    return fold_loss(coords, confs, targets, nres)
+
+
+def make_optimizer(learning_rate: float = 1e-4, accum_steps: int = 1):
+    """Adam (reference lr: 1e-4 restart / 3e-4 scratch) with optional
+    gradient accumulation replacing the reference's 32-sample python loop."""
+    opt = optax.adam(learning_rate)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
+
+
+@partial(jax.jit, static_argnames=("optimizer", "nloops", "refine_steps", "train"))
+def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
+               nloops: int, refine_steps: int = REFINE_STEPS, train: bool = True):
+    """One DP step over a padded micro-batch. Returns (params, opt_state, metrics)."""
+    batch_size = batch.alnmat.shape[0]
+    rngs = jax.random.split(rng, batch_size)
+
+    def batched_loss(p):
+        losses, metrics = jax.vmap(
+            lambda a, d, t, ns, nr, r: sample_loss(
+                p, a, d, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
+                dropout=train,
+            ),
+            spmd_axis_name="data",
+        )(batch.alnmat, batch.dca, batch.targets, batch.nseqs, batch.nres, rngs)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+    if not train:
+        _, metrics = batched_loss(params)
+        return params, opt_state, metrics
+
+    (_, metrics), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, metrics

@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dmpfold2_tpu.models import gruresnet
+from dmpfold2_tpu.parallel.mesh import make_mesh
+from dmpfold2_tpu.parallel.sharding import pair_sharding
+from dmpfold2_tpu.train.step import TrainBatch, make_optimizer, train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+    b, n, l = 4, 6, 16
+    rng = np.random.default_rng(0)
+    batch = TrainBatch(
+        alnmat=jnp.asarray(rng.integers(0, 22, (b, n, l)), jnp.int32),
+        dca=jnp.asarray(rng.normal(size=(b, l, l, 442)) * 0.05, jnp.float32),
+        targets=jnp.asarray(rng.normal(size=(b, l, 5, 3)) * 4, jnp.float32),
+        nseqs=jnp.full((b,), n, jnp.int32),
+        nres=jnp.full((b,), l, jnp.int32),
+    )
+    return params, batch
+
+
+def _run(params, batch, mesh, seq_shard):
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    repl = NamedSharding(mesh, P())
+    dp = lambda ndim: NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    batch = TrainBatch(*(jax.device_put(x, dp(x.ndim)) for x in batch))
+    ctx = pair_sharding("seq") if seq_shard else _null_ctx()
+    with jax.set_mesh(mesh), ctx:
+        new_params, _, metrics = train_step(
+            params, opt_state, batch, jax.random.PRNGKey(7),
+            optimizer=optimizer, nloops=1, refine_steps=2,
+        )
+        jax.block_until_ready(new_params)
+    return new_params, metrics
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _null_ctx():
+    yield
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_step_matches_single_device(setup):
+    params, batch = setup
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    mesh4 = make_mesh(4, 1, devices=jax.devices()[:4])
+    p1, m1 = _run(params, batch, mesh1, seq_shard=False)
+    p4, m4 = _run(params, batch, mesh4, seq_shard=False)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    # cross-device psum changes fp32 reduction order; Adam's rsqrt amplifies
+    # near-zero grads, so allow small per-element slack on updated params
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_dp_seq_step_matches_single_device(setup):
+    params, batch = setup
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    mesh42 = make_mesh(4, 2)
+    p1, m1 = _run(params, batch, mesh1, seq_shard=False)
+    p42, m42 = _run(params, batch, mesh42, seq_shard=True)
+    np.testing.assert_allclose(float(m1["loss"]), float(m42["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

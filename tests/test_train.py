@@ -1,0 +1,130 @@
+"""Training stack tests: TM-score parity, loss masking, train-step smoke."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from dmpfold2_tpu.models import gruresnet
+from dmpfold2_tpu.train.loss import fold_loss, steric_loss, tmscore
+from dmpfold2_tpu.train.step import TrainBatch, make_optimizer, sample_loss, train_step
+
+
+def torch_tmscore(c1, c2):
+    """Reference TM-score formula as torch oracle (train.py:207-225)."""
+    r1, r2 = c1.T, c2.T
+    p = r1 - r1.mean(1).view(3, 1)
+    q = r2 - r2.mean(1).view(3, 1)
+    cov = p @ q.T
+    u, s, vh = torch.linalg.svd(cov)
+    v = vh.T
+    d = torch.tensor([[1.0, 0, 0], [0, 1.0, 0], [0, 0, torch.det(v @ u.T)]])
+    rot = v @ d @ u.T
+    diffs = rot @ p - q
+    d0sq = ((1.24 * diffs.shape[1] / 5 - 15.0) ** (1.0 / 3.0) - 1.8) ** 2
+    return 1.0 / (1.0 + (diffs ** 2).sum(0) / d0sq)
+
+
+def test_tmscore_matches_torch():
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=(100, 3)) * 5).astype(np.float32)
+    b = (a + rng.normal(size=(100, 3)) * 0.8).astype(np.float32)
+    ours = np.asarray(tmscore(jnp.asarray(a), jnp.asarray(b)))
+    theirs = torch_tmscore(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_tmscore_padding_invariant():
+    rng = np.random.default_rng(1)
+    a = (rng.normal(size=(60, 3)) * 5).astype(np.float32)
+    b = (a + rng.normal(size=(60, 3))).astype(np.float32)
+    base = np.asarray(tmscore(jnp.asarray(a), jnp.asarray(b)))
+    ap = np.zeros((90, 3), np.float32); ap[:60] = a
+    bp = np.zeros((90, 3), np.float32); bp[:60] = b
+    padded = np.asarray(tmscore(jnp.asarray(ap), jnp.asarray(bp), 60))
+    np.testing.assert_allclose(padded[:60], base, atol=1e-5)
+
+
+def test_perfect_match_tm_is_one():
+    rng = np.random.default_rng(2)
+    a = (rng.normal(size=(50, 3)) * 5).astype(np.float32)
+    # arbitrary rotation + translation must give TM == 1
+    theta = 0.7
+    rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                    [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    b = a @ rot.T + np.array([3.0, -2.0, 1.0], np.float32)
+    tm = np.asarray(tmscore(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(tm, 1.0, atol=1e-4)
+
+
+def test_steric_loss_padding_invariant():
+    rng = np.random.default_rng(3)
+    ca = (rng.normal(size=(30, 3)) * 4).astype(np.float32)
+    base = float(steric_loss(jnp.asarray(ca), 30))
+    cap = np.zeros((48, 3), np.float32); cap[:30] = ca
+    padded = float(steric_loss(jnp.asarray(cap), 30))
+    assert abs(base - padded) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+    B, N, L = 2, 6, 12
+    rng = np.random.default_rng(5)
+    batch = TrainBatch(
+        alnmat=jnp.asarray(rng.integers(0, 22, (B, N, L)), jnp.int32),
+        dca=jnp.asarray(rng.normal(size=(B, L, L, 442)) * 0.05, jnp.float32),
+        targets=jnp.asarray(rng.normal(size=(B, L, 5, 3)) * 4, jnp.float32),
+        nseqs=jnp.full((B,), N, jnp.int32),
+        nres=jnp.full((B,), L, jnp.int32),
+    )
+    return params, batch
+
+
+def test_sample_loss_finite_and_grads_flow(tiny_setup):
+    params, batch = tiny_setup
+    loss, metrics = sample_loss(
+        params, batch.alnmat[0], batch.dca[0], batch.targets[0],
+        batch.nseqs[0], batch.nres[0], jax.random.PRNGKey(1),
+        nloops=1, refine_steps=3,
+    )
+    assert np.isfinite(float(loss))
+
+    grads = jax.grad(
+        lambda p: sample_loss(
+            p, batch.alnmat[0], batch.dca[0], batch.targets[0],
+            batch.nseqs[0], batch.nres[0], jax.random.PRNGKey(1),
+            nloops=1, refine_steps=3,
+        )[0]
+    )(params)
+    norms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert max(norms) > 0
+
+
+def test_train_step_updates_params(tiny_setup):
+    params, batch = tiny_setup
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    new_params, new_state, metrics = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(2),
+        optimizer=opt, nloops=1, refine_steps=2,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
+    )
+    assert changed
+
+    # eval mode: params unchanged, loss finite
+    p2, _, eval_metrics = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(3),
+        optimizer=opt, nloops=1, refine_steps=2, train=False,
+    )
+    assert np.isfinite(float(eval_metrics["loss"]))
+    assert all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
+    )
