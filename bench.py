@@ -1,0 +1,179 @@
+"""Benchmark: TPU engine vs reference torch-CPU pipeline on PF10963.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+value   = our wall-clock for the default config (10 recycles + 100 minsteps)
+          on the real TPU chip, post-compile, best of N.
+vs_baseline = reference_seconds / our_seconds (higher is better). The
+reference number is measured once by running the reference package itself
+(imported from /root/reference, random weights — same FLOPs as released
+weights) on this host's CPU, then cached in BENCH_BASELINE.json.
+
+Secondary metrics (trunk ms/residue at nres=256, fastest mode) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+ITERATIONS, MINSTEPS = 10, 100
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def measure_reference_cpu() -> float:
+    """Wall-clock of the reference pipeline (features + forward) on CPU.
+
+    Imports the reference package read-only and times its own code paths
+    (predict.py:136-151 equivalents) with random-initialized weights.
+    """
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            return json.load(fh)["pf10963_default_s"]
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import torch.nn.functional as F
+
+    # torch>=2 removed symeig; shim it so the reference (torch 1.8 era) runs
+    def _symeig(m, eigenvectors=True, upper=True):
+        return torch.linalg.eigh(m, UPLO="U" if upper else "L")
+
+    torch.symeig = _symeig
+
+    from dmpfold.network import GRUResNet
+    from dmpfold.predict import fast_dca, reweight
+
+    from dmpfold2_tpu.utils.aln import parse_aln
+
+    alnmat = parse_aln(EXAMPLE_ALN)
+    net = GRUResNet(512, 128).eval()
+    inputs = torch.from_numpy(alnmat.astype(np.int64))
+
+    def run():
+        with torch.no_grad():
+            msa1hot = F.one_hot(torch.clamp(inputs, max=20), 21).float()
+            w = reweight(msa1hot, cutoff=0.8)
+            f2d = fast_dca(msa1hot, w).float().permute(2, 0, 1).unsqueeze(0)
+            dmap = torch.zeros((1, 1, inputs.shape[1], inputs.shape[1])) - 1
+            inputs2 = torch.cat((f2d, dmap), dim=1)
+            return net(inputs, inputs2, ITERATIONS, MINSTEPS)
+
+    run()  # warm caches
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    with open(BASELINE_FILE, "w") as fh:
+        json.dump({"pf10963_default_s": best,
+                   "host": os.uname().nodename,
+                   "note": "reference torch-CPU, random weights, best of 2"}, fh, indent=1)
+    log(f"reference torch-CPU default fold: {best:.2f}s (cached to BENCH_BASELINE.json)")
+    return best
+
+
+def get_bench_params():
+    import jax
+    from dmpfold2_tpu.models.gruresnet import init_params
+    from dmpfold2_tpu.weights import load_params, save_params
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, "bench_params.npz")
+    if os.path.exists(path):
+        try:
+            return load_params(path)
+        except Exception:
+            pass
+    params = init_params(jax.random.PRNGKey(0))
+    save_params(path, params)
+    return params
+
+
+def measure_ours(params) -> dict:
+    import jax
+    from dmpfold2_tpu.engine.fold import Folder
+    from dmpfold2_tpu.utils.aln import parse_aln
+
+    alnmat = parse_aln(EXAMPLE_ALN)
+    folder = Folder(params)
+
+    results = {}
+    for name, (it, ms) in {"default": (ITERATIONS, MINSTEPS), "fastest": (0, 0)}.items():
+        t0 = time.perf_counter()
+        folder.fold(alnmat, iterations=it, minsteps=ms)
+        log(f"{name}: first call (compile+run) {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            folder.fold(alnmat, iterations=it, minsteps=ms)
+            times.append(time.perf_counter() - t0)
+        results[name] = min(times)
+        log(f"{name}: best of 3 = {results[name]*1000:.1f}ms")
+    return results
+
+
+def measure_trunk_ms_per_residue(params) -> float:
+    """Trunk forward ms/residue at nres=256 (BASELINE.json metric)."""
+    import jax
+    import jax.numpy as jnp
+    from dmpfold2_tpu.models.trunk import trunk_apply
+
+    l = 256
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, l, l, 955)), jnp.float32)
+
+    # reduce to a scalar and fetch it: block_until_ready alone does not
+    # reliably block over the remote-execution tunnel
+    fn = jax.jit(lambda p, x: trunk_apply(p, x).sum())
+    float(fn(params["trunk"], x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(fn(params["trunk"], x))
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1000
+    log(f"trunk forward @ L=256: {ms:.1f}ms total, {ms / l:.4f} ms/residue")
+    return ms / l
+
+
+def main():
+    import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    params = get_bench_params()
+    trunk_ms = measure_trunk_ms_per_residue(params)
+    ours = measure_ours(params)
+    ref = measure_reference_cpu()
+
+    result = {
+        "metric": "PF10963 default fold (10 recycles + 100 minsteps) wall-clock",
+        "value": round(ours["default"], 4),
+        "unit": "s",
+        "vs_baseline": round(ref / ours["default"], 2),
+        "extra": {
+            "fastest_mode_s": round(ours["fastest"], 4),
+            "trunk_ms_per_residue_L256": round(trunk_ms, 4),
+            "reference_cpu_default_s": round(ref, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
