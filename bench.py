@@ -110,15 +110,21 @@ def measure_ours(params) -> dict:
     alnmat = parse_aln(EXAMPLE_ALN)
     folder = Folder(params)
 
+    bf16 = Folder(params, precision="bf16")
     results = {}
-    for name, (it, ms) in {"default": (ITERATIONS, MINSTEPS), "fastest": (0, 0)}.items():
+    configs = {
+        "default": (folder, ITERATIONS, MINSTEPS),
+        "fastest": (folder, 0, 0),
+        "default_bf16": (bf16, ITERATIONS, MINSTEPS),
+    }
+    for name, (f, it, ms) in configs.items():
         t0 = time.perf_counter()
-        folder.fold(alnmat, iterations=it, minsteps=ms)
+        f.fold(alnmat, iterations=it, minsteps=ms)
         log(f"{name}: first call (compile+run) {time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            folder.fold(alnmat, iterations=it, minsteps=ms)
+            f.fold(alnmat, iterations=it, minsteps=ms)
             times.append(time.perf_counter() - t0)
         results[name] = min(times)
         log(f"{name}: best of 3 = {results[name]*1000:.1f}ms")
@@ -168,6 +174,7 @@ def main():
         "vs_baseline": round(ref / ours["default"], 2),
         "extra": {
             "fastest_mode_s": round(ours["fastest"], 4),
+            "default_bf16_s": round(ours["default_bf16"], 4),
             "trunk_ms_per_residue_L256": round(trunk_ms, 4),
             "reference_cpu_default_s": round(ref, 2),
         },

@@ -29,15 +29,17 @@ DEFAULT_ITERATIONS = 10
 DEFAULT_MINSTEPS = 100
 
 
-@partial(jax.jit, static_argnames=("dca_method",))
+@partial(jax.jit, static_argnames=("dca_method", "precision"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                 dca_method="cholesky"):
+                 dca_method="cholesky", precision="fp32"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     oh = msa_one_hot(alnmat, nseqs, nres)
     w = reweight(oh, nres)
     dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
     x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
-    return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps,
+                             compute_dtype=compute_dtype)
 
 
 def _build_dmap_channel(l_pad: int, nres: int, template_ca: np.ndarray | None):
@@ -67,6 +69,7 @@ class Folder:
     params: dict
     use_buckets: bool = True
     dca_method: str = "cholesky"
+    precision: str = "fp32"  # "bf16": trunk convs on the MXU in bf16
 
     def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,
              iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
@@ -79,7 +82,7 @@ class Folder:
         coords, confs = _fold_device(
             self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
-            dca_method=self.dca_method,
+            dca_method=self.dca_method, precision=self.precision,
         )
         return np.asarray(coords[:nres]), np.asarray(confs[:nres])
 

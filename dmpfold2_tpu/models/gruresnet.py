@@ -56,9 +56,10 @@ class TrunkHeads(NamedTuple):
 
 
 def _trunk_heads(params, resinp, nres, pair_mask, row_mask, *, dropout_rng=None,
-                 remat: bool = False) -> TrunkHeads:
+                 remat: bool = False, compute_dtype=None) -> TrunkHeads:
     out = trunk_apply(params["trunk"], resinp[None], pair_mask[None, :, :, None],
-                      dropout_rng=dropout_rng, remat=remat)[0]
+                      dropout_rng=dropout_rng, remat=remat,
+                      compute_dtype=compute_dtype)[0]
     dm = out[:, :, 0]
     conf = jnp.sum(out[:, :, 1] * row_mask[None, :], axis=1) / nres
     return TrunkHeads(dm, conf)
@@ -75,7 +76,7 @@ def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
 
 
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
-            rngs=None, remat: bool = False):
+            rngs=None, remat: bool = False, compute_dtype=None):
     """Run the full network.
 
     Args:
@@ -117,7 +118,8 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             trunk_rng, coord_rng = jax.random.split(dropout_rng)
         resinp = jnp.concatenate([resinp_base, dmap_channel[:, :, None]], axis=2)
         heads = _trunk_heads(params, resinp, nres, pair_mask, row_mask,
-                             dropout_rng=trunk_rng, remat=remat)
+                             dropout_rng=trunk_rng, remat=remat,
+                             compute_dtype=compute_dtype)
         ca = _coords_head(params, mat1d, heads.dm, nres, nres,
                           dropout_rng=coord_rng)
         return ca, heads.conf

@@ -37,17 +37,26 @@ NUM_BLOCKS = 16
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(x, w, b=None, dilation: int = 1):
+def conv2d(x, w, b=None, dilation: int = 1, compute_dtype=None):
     """Same-padded 2D conv in NHWC/HWIO (matches torch's zero padding of
-    dilation*(k-1)//2 for odd kernels)."""
+    dilation*(k-1)//2 for odd kernels).
+
+    ``compute_dtype=bfloat16`` casts operands for the MXU and accumulates in
+    fp32 (the TPU-native mixed-precision policy; replaces the reference's
+    CUDA AMP autocast, train.py:318).
+    """
     k = w.shape[0]
     pad = dilation * (k - 1) // 2
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((pad, pad), (pad, pad)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b
@@ -80,9 +89,9 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
     }
 
 
-def maxout2d(params, x, pool: int, dilation: int = 1, mask=None):
+def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=None):
     """Conv to C*pool channels, max over pool groups, instance norm."""
-    out = conv2d(x, params["w"], params["b"], dilation)
+    out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
     b, h, w, c = out.shape
     out = out.reshape(b, h, w, c // pool, pool).max(axis=-1)
     return masked_instance_norm(out, params["gamma"], params["beta"], mask)
@@ -122,7 +131,7 @@ def block_params(key, width: int, ksize: int, block_idx: int):
 
 
 def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
-                 dropout_rate: float = 0.2):
+                 dropout_rate: float = 0.2, compute_dtype=None):
     """Residual block (reference: dmpfold/network.py:85-103)."""
     out = x
     if dropout_rng is not None and dropout_rate > 0.0:
@@ -133,7 +142,8 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
         out = jnp.where(m1, out / keep, 0.0)
         m2 = jax.random.bernoulli(r2, keep, (out.shape[0], 1, 1, out.shape[3]))
         out = jnp.where(m2, out / keep, 0.0)
-    out = maxout2d(params["maxout"], out, pool=4, dilation=dilation, mask=mask)
+    out = maxout2d(params["maxout"], out, pool=4, dilation=dilation, mask=mask,
+                   compute_dtype=compute_dtype)
     out = scse(params["scse"], out, mask)
     out = out + x
     if mask is not None:
@@ -157,9 +167,16 @@ def trunk_params(key, in_channels: int = TRUNK_IN_CHANNELS, width: int = DEFAULT
     }
 
 
-def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False):
-    """(B, L, L, 955) -> (B, L, L, 2): distance-map + confidence channels."""
-    out = maxout2d(params["input"], shard_pair(x), pool=3, mask=mask)
+def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False,
+                compute_dtype=None):
+    """(B, L, L, 955) -> (B, L, L, 2): distance-map + confidence channels.
+
+    ``compute_dtype=jnp.bfloat16`` runs the convs (~85% of pipeline FLOPs,
+    SURVEY §3.3) on the MXU in bf16 with fp32 accumulation; norms, SE and
+    residual adds stay fp32.
+    """
+    out = maxout2d(params["input"], shard_pair(x), pool=3, mask=mask,
+                   compute_dtype=compute_dtype)
     if mask is not None:
         out = out * mask
     out = shard_pair(out)
@@ -173,10 +190,11 @@ def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False):
     def body(carry, block):
         if rngs is None:
             p = block
-            new = resnet_block(p, carry, mask)
+            new = resnet_block(p, carry, mask, compute_dtype=compute_dtype)
         else:
             p, rng = block
-            new = resnet_block(p, carry, mask, dropout_rng=rng)
+            new = resnet_block(p, carry, mask, dropout_rng=rng,
+                               compute_dtype=compute_dtype)
         return shard_pair(new), None
 
     if remat:

@@ -88,3 +88,16 @@ def test_cli_help():
     )
     assert res.returncode == 0
     assert "--iterations" in res.stdout
+
+
+def test_bf16_trunk_close_to_fp32(params):
+    """bf16 MXU policy must stay structurally faithful to fp32."""
+    from dmpfold2_tpu.utils import aln as aln_io
+
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:40]
+    c32, f32 = Folder(params, precision="fp32").fold(alnmat, iterations=1, minsteps=5)
+    c16, f16 = Folder(params, precision="bf16").fold(alnmat, iterations=1, minsteps=5)
+    assert np.isfinite(c16).all()
+    # confidences agree closely; coordinates agree to sub-Angstrom scale
+    np.testing.assert_allclose(f16, f32, atol=0.05)
+    assert np.abs(c16 - c32).mean() < 1.0
