@@ -154,6 +154,29 @@ def measure_trunk_ms_per_residue(params) -> float:
     return ms / l
 
 
+def measure_targets_per_s(params, batch_size: int = 8, n_targets: int = 16) -> float:
+    """Throughput on a Pfam-like batch (same-bucket targets, default config)."""
+    from dmpfold2_tpu.parallel.stream import BatchFolder, Target
+    from dmpfold2_tpu.utils.aln import parse_aln
+
+    rng = np.random.default_rng(0)
+    base = parse_aln(EXAMPLE_ALN)
+    targets = []
+    for _ in range(n_targets):
+        n = int(rng.integers(200, 252))
+        targets.append(Target(alnmat=base[:n]))
+
+    folder = BatchFolder(params, batch_size=batch_size, precision="bf16")
+    folder.fold_many(targets[:batch_size], iterations=ITERATIONS, minsteps=MINSTEPS)  # compile
+    t0 = time.perf_counter()
+    folder.fold_many(targets, iterations=ITERATIONS, minsteps=MINSTEPS)
+    dt = time.perf_counter() - t0
+    tps = n_targets / dt
+    log(f"batch folding: {n_targets} targets in {dt:.2f}s = {tps:.2f} targets/s "
+        f"({tps * 3600:.0f} folds/hour)")
+    return tps
+
+
 def main():
     import jax
 
@@ -165,6 +188,7 @@ def main():
     params = get_bench_params()
     trunk_ms = measure_trunk_ms_per_residue(params)
     ours = measure_ours(params)
+    tps = measure_targets_per_s(params)
     ref = measure_reference_cpu()
 
     result = {
@@ -176,6 +200,7 @@ def main():
             "fastest_mode_s": round(ours["fastest"], 4),
             "default_bf16_s": round(ours["default_bf16"], 4),
             "trunk_ms_per_residue_L256": round(trunk_ms, 4),
+            "targets_per_s_default": round(tps, 3),
             "reference_cpu_default_s": round(ref, 2),
         },
     }

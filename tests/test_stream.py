@@ -1,0 +1,47 @@
+"""Batch streaming engine tests: grouping, padding, DP sharding, ordering."""
+
+import numpy as np
+import pytest
+import jax
+
+from dmpfold2_tpu.engine.fold import Folder
+from dmpfold2_tpu.models import gruresnet
+from dmpfold2_tpu.parallel.mesh import make_mesh
+from dmpfold2_tpu.parallel.stream import BatchFolder, Target
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+
+
+@pytest.fixture(scope="module")
+def targets():
+    rng = np.random.default_rng(0)
+    out = []
+    for i, (n, l) in enumerate([(8, 20), (12, 25), (6, 20), (10, 40), (7, 22)]):
+        out.append(Target(alnmat=rng.integers(0, 22, (n, l)).astype(np.uint8)))
+    return out
+
+
+def test_batch_matches_single(params, targets):
+    single = Folder(params)
+    batched = BatchFolder(params, batch_size=2)
+    batch_results = batched.fold_many(targets, iterations=1, minsteps=3)
+    for t, (bc, bf) in zip(targets, batch_results):
+        sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
+        assert bc.shape == sc.shape
+        np.testing.assert_allclose(bf, sf, atol=1e-4)
+        np.testing.assert_allclose(bc, sc, atol=2e-3)
+
+
+def test_batch_dp_mesh(params, targets):
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    batched = BatchFolder(params, mesh=mesh, batch_size=4)
+    results = batched.fold_many(targets, iterations=1, minsteps=3)
+    assert all(r is not None for r in results)
+    single = Folder(params)
+    for t, (bc, bf) in zip(targets, results):
+        sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
+        np.testing.assert_allclose(bf, sf, atol=1e-4)
+        np.testing.assert_allclose(bc, sc, atol=2e-3)
