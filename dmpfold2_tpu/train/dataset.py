@@ -1,0 +1,163 @@
+"""Training dataset: tdb/aln parsing, augmentation, device-side DCA, bucketing.
+
+Replicates the reference data semantics (reference: dmpfold/train.py:37-56
+cluster list, 96-198 DMPDataset) with a TPU-first pipeline:
+
+  * tdb files: one residue per non-comment line, residue letter at column 5,
+    five atoms (N, CA, C, O, CB) of 9-char floats starting at column 39
+    (train.py:117-124).
+  * augmentation: random cluster member, terminal-gap crop from a random
+    row, random crop to DEF_CROPLEN, log-uniform row subsampling with the
+    MAXALNSZ area budget (train.py:138-162).
+  * DCA runs on the accelerator inside the (jitted) train step, not in a
+    spawned CUDA DataLoader worker (the reference crosses a process+device
+    boundary per sample, train.py:175-196); the host side only parses,
+    augments and pads to a bucket.
+
+Validation uses the deterministic path: first member, row/length caps
+(train.py:163-170).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..engine.buckets import bucket_shape
+from ..utils.aln import encode_rows
+
+BATCH_SIZE = 32          # reference train.py:21
+MAXALNSZ = 300 * 1000    # reference train.py:24
+DEF_CROPLEN = 350        # reference train.py:27
+VALIDATION_CLUSTERS = 300  # reference train.py:49
+
+_AA_NUM = {c: i for i, c in enumerate("ARNDCQEGHILKMFPSTWYV")}
+for c in "BJOUXZ":
+    _AA_NUM[c] = 20
+
+
+def load_cluster_list(path: str):
+    """train_clust.lst -> (train_list, validation_list) of member-id lists.
+
+    First 300 clusters are validation (reference: train.py:37-56).
+    """
+    train_list, validation_list = [], []
+    with open(path) as fh:
+        for tnum, line in enumerate(fh):
+            members = line.rstrip().split()
+            if not members:
+                continue
+            (validation_list if tnum < VALIDATION_CLUSTERS else train_list).append(members)
+    return train_list, validation_list
+
+
+def parse_tdb(path: str):
+    """tdb file -> (residue classes (L,), coords (L, 5, 3) float32)."""
+    classes, coords = [], []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            classes.append(_AA_NUM.get(line[5], 21))
+            atoms = [
+                [float(line[39 + i * 27 + j * 9 : 39 + i * 27 + (j + 1) * 9]) for j in range(3)]
+                for i in range(5)
+            ]
+            coords.append(atoms)
+    return np.asarray(classes, np.int32), np.asarray(coords, np.float32)
+
+
+def parse_aln_rows(path: str) -> np.ndarray:
+    with open(path) as fh:
+        rows = fh.read().splitlines()
+    return encode_rows([r for r in rows if r])
+
+
+@dataclass
+class Sample:
+    alnmat: np.ndarray   # (N, L) uint8, unpadded
+    targets: np.ndarray  # (L, 5, 3)
+
+
+class DMPDataset:
+    """Cluster-based dataset with reference augmentation semantics."""
+
+    def __init__(self, sample_list, data_dir: str = ".", augment: bool = True,
+                 rng: random.Random | None = None):
+        self.sample_list = sample_list
+        self.data_dir = data_dir
+        self.augment = augment
+        self.rng = rng or random.Random()
+
+    def __len__(self) -> int:
+        return len(self.sample_list)
+
+    def __getitem__(self, idx: int) -> Sample:
+        members = self.sample_list[idx]
+        targid = self.rng.choice(members) if self.augment else members[0]
+        _, targets = parse_tdb(os.path.join(self.data_dir, "tdb", targid + ".tdb"))
+        alnmat = parse_aln_rows(os.path.join(self.data_dir, "aln", targid + ".aln"))
+        if self.augment:
+            alnmat, targets = self._augment(alnmat, targets)
+        else:
+            if alnmat.shape[0] > 1000:
+                alnmat = alnmat[:1000]
+            if alnmat.shape[1] > DEF_CROPLEN:
+                alnmat = alnmat[:, :DEF_CROPLEN]
+                targets = targets[:DEF_CROPLEN]
+        return Sample(alnmat, targets)
+
+    def _augment(self, alnmat: np.ndarray, targets: np.ndarray):
+        rng = self.rng
+        nseqs, length = alnmat.shape
+
+        # crop terminal gaps of a random row (train.py:139-144)
+        row = rng.randint(0, nseqs - 1)
+        aalocs = np.where(alnmat[row] < 21)[0]
+        if len(aalocs):
+            alnmat = alnmat[:, aalocs[0] : aalocs[-1] + 1]
+            targets = targets[aalocs[0] : aalocs[-1] + 1]
+            length = alnmat.shape[1]
+
+        # random crop to DEF_CROPLEN (train.py:146-151)
+        if length > DEF_CROPLEN:
+            lcut = rng.randint(0, length - DEF_CROPLEN)
+            alnmat = alnmat[:, lcut : lcut + DEF_CROPLEN]
+            targets = targets[lcut : lcut + DEF_CROPLEN]
+            length = DEF_CROPLEN
+
+        # log-uniform row subsample under the area budget (train.py:152-162)
+        maxseqs = min(1000, MAXALNSZ // length)
+        if nseqs > 1:
+            p = (1 + int(math.exp(rng.random() * math.log(nseqs - 1)))) / nseqs
+            rowmask = np.asarray(
+                [rng.random() < p for _ in range(nseqs)], bool
+            )
+            rowmask[0] = True
+            alnmat = alnmat[rowmask]
+            if alnmat.shape[0] > maxseqs:
+                alnmat = alnmat[:maxseqs]
+        return alnmat, targets
+
+
+def pad_to_bucket(samples: list[Sample]):
+    """Pad a list of samples to their common bucket -> arrays for TrainBatch."""
+    n_pad = l_pad = 0
+    for s in samples:
+        n, l = bucket_shape(*s.alnmat.shape)
+        n_pad, l_pad = max(n_pad, n), max(l_pad, l)
+    b = len(samples)
+    alnmat = np.zeros((b, n_pad, l_pad), np.int32)
+    targets = np.zeros((b, l_pad, 5, 3), np.float32)
+    nseqs = np.zeros((b,), np.int32)
+    nres = np.zeros((b,), np.int32)
+    for i, s in enumerate(samples):
+        n, l = s.alnmat.shape
+        alnmat[i, :n, :l] = s.alnmat
+        targets[i, :l] = s.targets
+        nseqs[i], nres[i] = n, l
+    return alnmat, targets, nseqs, nres

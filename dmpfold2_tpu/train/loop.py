@@ -1,0 +1,138 @@
+"""Training driver: epochs over the cluster dataset with checkpoint/resume.
+
+Mirrors the reference main loop (reference: dmpfold/train.py:230-422):
+shuffled clusters, random recycling depth per micro-batch, fixed-seed
+validation with nloops=2, best-val / best-train / rolling checkpoint saves.
+Run as ``python -m dmpfold2_tpu.train.loop --data-dir ... --clusters ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import gruresnet
+from . import checkpoint as ckpt
+from .dataset import BATCH_SIZE, DMPDataset, load_cluster_list, pad_to_bucket
+from .step import MAX_ITERATIONS, TrainBatch, make_optimizer, train_step
+
+
+def _make_batches(dataset, indices, micro_batch: int):
+    for start in range(0, len(indices) - micro_batch + 1, micro_batch):
+        samples = [dataset[i] for i in indices[start : start + micro_batch]]
+        alnmat, targets, nseqs, nres = pad_to_bucket(samples)
+        yield TrainBatch(
+            jnp.asarray(alnmat), jnp.asarray(targets),
+            jnp.asarray(nseqs), jnp.asarray(nres),
+        )
+
+
+def train(data_dir: str = ".", clusters: str = "train_clust.lst",
+          workdir: str = ".", num_epochs: int = 1000, micro_batch: int = 1,
+          accum_steps: int = BATCH_SIZE, restart: bool = True,
+          refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None):
+    train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
+    print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
+
+    params = gruresnet.init_params(jax.random.PRNGKey(seed), **(model_kwargs or {}))
+    lr = 3e-4
+    if restart:
+        best_train = os.path.join(workdir, ckpt.BEST_TRAIN)
+        if os.path.isfile(best_train):
+            params, n = ckpt.partial_restore(params, best_train)
+            print(f"warm restart: {n} tensors restored from {best_train}")
+            lr = 1e-4  # reference train.py:263
+
+    optimizer = make_optimizer(lr, accum_steps=accum_steps)
+    opt_state = optimizer.init(params)
+
+    val_err_min = train_err_min = float("inf")
+    start_epoch = 0
+    state = ckpt.load_train_state(workdir)
+    if state is not None:
+        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        start_epoch = state["epoch"] + 1
+        val_err_min = state["val_err_min"]
+        train_err_min = state["train_err_min"]
+        print(f"checkpoint loaded, resuming at epoch {start_epoch}")
+
+    train_data = DMPDataset(train_list, data_dir, augment=True)
+    val_data = DMPDataset(validation_list, data_dir, augment=False)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(start_epoch, start_epoch + num_epochs):
+        t0 = time.time()
+        py_rng = random.Random()  # fresh entropy per epoch (train.py:359)
+        indices = list(range(len(train_data)))
+        py_rng.shuffle(indices)
+
+        train_err, train_samples = 0.0, 0
+        for batch in _make_batches(train_data, indices, micro_batch):
+            rng, sub = jax.random.split(rng)
+            nloops = py_rng.randint(0, MAX_ITERATIONS)
+            params, opt_state, metrics = train_step(
+                params, opt_state, batch, sub, optimizer=optimizer,
+                nloops=nloops, refine_steps=refine_steps,
+            )
+            loss = float(metrics["loss"])
+            if np.isfinite(loss):
+                train_err += loss * batch.alnmat.shape[0]
+                train_samples += batch.alnmat.shape[0]
+
+        # fixed-seed validation with nloops=2 (train.py:383-389)
+        val_data.rng = random.Random(1)
+        val_err, val_samples = 0.0, 0
+        for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch):
+            rng, sub = jax.random.split(rng)
+            _, _, metrics = train_step(
+                params, opt_state, batch, sub, optimizer=optimizer,
+                nloops=2, refine_steps=refine_steps, train=False,
+            )
+            loss = float(metrics["loss"])
+            if np.isfinite(loss):
+                val_err += loss * batch.alnmat.shape[0]
+                val_samples += batch.alnmat.shape[0]
+
+        print(f"Epoch {epoch + 1} took {time.time() - t0:.1f}s  "
+              f"train {train_err / max(train_samples, 1):.6f}  "
+              f"val {val_err / max(val_samples, 1):.6f}")
+        sys.stdout.flush()
+
+        if val_err < val_err_min:
+            val_err_min = val_err
+            ckpt.save_params(os.path.join(workdir, ckpt.BEST_VAL), params)
+            print("Saving best-validation model...")
+        if train_err < train_err_min:
+            train_err_min = train_err
+            ckpt.save_params(os.path.join(workdir, ckpt.BEST_TRAIN), params)
+            print("Saving best-training model...")
+        ckpt.save_train_state(workdir, epoch, opt_state, val_err_min, train_err_min)
+
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train the TPU-native GRUResNet")
+    ap.add_argument("--data-dir", default=".")
+    ap.add_argument("--clusters", default="train_clust.lst")
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--micro-batch", type=int, default=1)
+    ap.add_argument("--accum-steps", type=int, default=BATCH_SIZE)
+    ap.add_argument("--refine-steps", type=int, default=100)
+    ap.add_argument("--no-restart", action="store_true")
+    args = ap.parse_args(argv)
+    train(args.data_dir, args.clusters, args.workdir, args.epochs,
+          args.micro_batch, args.accum_steps, restart=not args.no_restart,
+          refine_steps=args.refine_steps)
+
+
+if __name__ == "__main__":
+    main()

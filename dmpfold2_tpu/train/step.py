@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..features.dca import dca_or_zero
+from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
 from .loss import fold_loss
 
@@ -34,16 +36,18 @@ MAX_ITERATIONS = 3  # reference train.py:30
 
 
 class TrainBatch(NamedTuple):
-    """One padded micro-batch of targets."""
+    """One padded micro-batch of targets. DCA features are computed on
+    device inside the step (the reference ships them from a spawned CUDA
+    DataLoader worker per sample, train.py:175-196 — a process+device
+    boundary the TPU pipeline doesn't need)."""
 
     alnmat: jax.Array   # (B, N, L) int32
-    dca: jax.Array      # (B, L, L, 442) precomputed DCA features
     targets: jax.Array  # (B, L, 5, 3) ground-truth atoms
     nseqs: jax.Array    # (B,)
     nres: jax.Array     # (B,)
 
 
-def sample_loss(params, alnmat, dca, targets, nseqs, nres, rng, *,
+def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
                 nloops: int, refine_steps: int = REFINE_STEPS,
                 teacher_prob: float = 0.5, noise_targets: bool = True,
                 dropout: bool = True):
@@ -51,6 +55,11 @@ def sample_loss(params, alnmat, dca, targets, nseqs, nres, rng, *,
     l_pad = alnmat.shape[1]
     row_mask = jnp.arange(l_pad) < nres
     pair_mask = row_mask[:, None] & row_mask[None, :]
+
+    # covariation features with gradients disabled (reference train.py:175)
+    oh = msa_one_hot(alnmat, nseqs, nres)
+    w = reweight(oh, nres)
+    dca = jax.lax.stop_gradient(dca_or_zero(oh, w, nseqs, nres))
 
     rng_tf, rng_noise, rng_drop = jax.random.split(rng, 3)
     # 50%: seed the dmap channel with a noised ground-truth CA distance map
@@ -102,12 +111,12 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
 
     def batched_loss(p):
         losses, metrics = jax.vmap(
-            lambda a, d, t, ns, nr, r: sample_loss(
-                p, a, d, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
+            lambda a, t, ns, nr, r: sample_loss(
+                p, a, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
                 dropout=train,
             ),
             spmd_axis_name="data",
-        )(batch.alnmat, batch.dca, batch.targets, batch.nseqs, batch.nres, rngs)
+        )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)
         return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
 
     if not train:

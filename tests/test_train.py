@@ -74,7 +74,6 @@ def tiny_setup():
     rng = np.random.default_rng(5)
     batch = TrainBatch(
         alnmat=jnp.asarray(rng.integers(0, 22, (B, N, L)), jnp.int32),
-        dca=jnp.asarray(rng.normal(size=(B, L, L, 442)) * 0.05, jnp.float32),
         targets=jnp.asarray(rng.normal(size=(B, L, 5, 3)) * 4, jnp.float32),
         nseqs=jnp.full((B,), N, jnp.int32),
         nres=jnp.full((B,), L, jnp.int32),
@@ -85,7 +84,7 @@ def tiny_setup():
 def test_sample_loss_finite_and_grads_flow(tiny_setup):
     params, batch = tiny_setup
     loss, metrics = sample_loss(
-        params, batch.alnmat[0], batch.dca[0], batch.targets[0],
+        params, batch.alnmat[0], batch.targets[0],
         batch.nseqs[0], batch.nres[0], jax.random.PRNGKey(1),
         nloops=1, refine_steps=3,
     )
@@ -93,7 +92,7 @@ def test_sample_loss_finite_and_grads_flow(tiny_setup):
 
     grads = jax.grad(
         lambda p: sample_loss(
-            p, batch.alnmat[0], batch.dca[0], batch.targets[0],
+            p, batch.alnmat[0], batch.targets[0],
             batch.nseqs[0], batch.nres[0], jax.random.PRNGKey(1),
             nloops=1, refine_steps=3,
         )[0]
