@@ -29,9 +29,9 @@ DEFAULT_ITERATIONS = 10
 DEFAULT_MINSTEPS = 100
 
 
-@partial(jax.jit, static_argnames=("dca_method", "precision"))
+@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                 dca_method="cholesky", precision="fp32"):
+                 dca_method="cholesky", precision="fp32", vgru_impl="scan"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     oh = msa_one_hot(alnmat, nseqs, nres)
     w = reweight(oh, nres)
@@ -39,7 +39,7 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
     x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, vgru_impl=vgru_impl)
 
 
 def _build_dmap_channel(l_pad: int, nres: int, template_ca: np.ndarray | None):
@@ -69,7 +69,8 @@ class Folder:
     params: dict
     use_buckets: bool = True
     dca_method: str = "cholesky"
-    precision: str = "fp32"  # "bf16": trunk convs on the MXU in bf16
+    precision: str = "fp32"   # "bf16": trunk convs on the MXU in bf16
+    vgru_impl: str = "auto"   # "pallas" on TPU, "scan" elsewhere
 
     def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,
              iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
@@ -83,8 +84,14 @@ class Folder:
             self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
             dca_method=self.dca_method, precision=self.precision,
+            vgru_impl=self._vgru_impl(),
         )
         return np.asarray(coords[:nres]), np.asarray(confs[:nres])
+
+    def _vgru_impl(self) -> str:
+        if self.vgru_impl != "auto":
+            return self.vgru_impl
+        return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
 
 
 def _default_weight_paths():

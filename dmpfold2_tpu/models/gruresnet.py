@@ -76,7 +76,8 @@ def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
 
 
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
-            rngs=None, remat: bool = False, compute_dtype=None):
+            rngs=None, remat: bool = False, compute_dtype=None,
+            vgru_impl: str = "scan"):
     """Run the full network.
 
     Args:
@@ -99,7 +100,12 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
 
     # --- MSA embedding: vertical GRU over rows, horizontal biGRU over residues
     x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
-    seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs)  # (L, 512)
+    if vgru_impl == "pallas":
+        from ..kernels.vgru import vgru_final_pallas
+
+        seq_embed = vgru_final_pallas(params["vgru"], x, nseqs)  # (L, 512)
+    else:
+        seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs)
     hrng = rngs.get("hgru") if rngs else None
     mat1d = gru.bigru_stack(
         params["hgru"], seq_embed[:, None, :], nres,
