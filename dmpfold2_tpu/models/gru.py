@@ -123,20 +123,30 @@ def unigru_stack_final(layers, x, valid_len=None):
     still hoisted into one big matmul; deeper layers project their (B, H)
     input per step (an MXU matmul batched over residue positions).
     """
-    seq_len, batch, _ = x.shape
+    seq_len, batch, in_dim = x.shape
     hidden = layers[0]["wh"].shape[0]
-    xproj0 = jnp.einsum("tbc,ch->tbh", x, layers[0]["wi"]) + layers[0]["bi"]
+    # hoist layer 0's input projection only when the (T, B, 3H) result is
+    # small enough to materialize (it is 14 GB at the long-target stress
+    # shape); otherwise project per-step inside the scan
+    hoist = seq_len * batch * 3 * hidden <= 2 ** 27
+    if hoist:
+        xs = jnp.einsum("tbc,ch->tbh", x, layers[0]["wi"]) + layers[0]["bi"]
+    else:
+        xs = x
     t_idx = jnp.arange(seq_len)
 
     h0 = tuple(jnp.zeros((batch, hidden), x.dtype) for _ in layers)
 
     def step(hs, inp):
-        t, xp0 = inp
+        t, x_t = inp
         new_hs = []
         layer_in = None
         for layer_idx, p in enumerate(layers):
             h = hs[layer_idx]
-            xp = xp0 if layer_idx == 0 else layer_in @ p["wi"] + p["bi"]
+            if layer_idx == 0:
+                xp = x_t if hoist else x_t @ p["wi"] + p["bi"]
+            else:
+                xp = layer_in @ p["wi"] + p["bi"]
             h_new = _gates(xp, h @ p["wh"] + p["bh"], h, hidden)
             if valid_len is not None:
                 h_new = jnp.where(t < valid_len, h_new, h)
@@ -144,7 +154,7 @@ def unigru_stack_final(layers, x, valid_len=None):
             layer_in = h_new
         return tuple(new_hs), None
 
-    hs, _ = jax.lax.scan(step, h0, (t_idx, xproj0))
+    hs, _ = jax.lax.scan(step, h0, (t_idx, xs))
     return hs[-1]
 
 

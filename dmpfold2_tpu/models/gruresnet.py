@@ -99,12 +99,12 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     pair_mask = row_mask[:, None] & row_mask[None, :]
 
     # --- MSA embedding: vertical GRU over rows, horizontal biGRU over residues
-    x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
     if vgru_impl == "pallas":
         from ..kernels.vgru import vgru_final_pallas
 
-        seq_embed = vgru_final_pallas(params["vgru"], x, nseqs)  # (L, 512)
+        seq_embed = vgru_final_pallas(params["vgru"], alnmat, nseqs)  # (L, 512)
     else:
+        x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
         seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs)
     hrng = rngs.get("hgru") if rngs else None
     mat1d = gru.bigru_stack(

@@ -56,7 +56,16 @@ def load_cluster_list(path: str):
 
 
 def parse_tdb(path: str):
-    """tdb file -> (residue classes (L,), coords (L, 5, 3) float32)."""
+    """tdb file -> (residue classes (L,), coords (L, 5, 3) float32).
+
+    Native fast path via native/dmpio.cpp when available.
+    """
+    from ..utils import native
+
+    if native.available():
+        with open(path, "rb") as fh:
+            return native.parse_tdb_bytes(fh.read())
+
     classes, coords = [], []
     with open(path) as fh:
         for line in fh:

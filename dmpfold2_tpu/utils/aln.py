@@ -47,7 +47,17 @@ def encode_rows(rows: list[str]) -> np.ndarray:
 
 
 def parse_aln(path: str, max_seqs: int = MAX_SEQS) -> np.ndarray:
-    """Parse an aln file into an (nseqs, nres) uint8 matrix of residue classes."""
+    """Parse an aln file into an (nseqs, nres) uint8 matrix of residue classes.
+
+    Uses the native parser (native/dmpio.cpp via ctypes) when available;
+    the pure-Python fallback is byte-identical.
+    """
+    from . import native
+
+    if native.available():
+        with open(path, "rb") as fh:
+            return native.encode_aln_bytes(fh.read(), max_seqs)
+
     rows = []
     with open(path) as fh:
         for line in fh:

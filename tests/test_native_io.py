@@ -1,0 +1,93 @@
+"""Native (C++) IO parsers must be byte-identical to the Python fallbacks."""
+
+import time
+
+import numpy as np
+import pytest
+
+from dmpfold2_tpu.utils import aln, native
+
+EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_native():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+def _python_parse_aln(path, max_seqs=3000):
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            if not line.startswith(">"):
+                stripped = line.rstrip()
+                if stripped:
+                    rows.append(stripped)
+    mat = aln.encode_rows(rows)
+    return mat[:max_seqs]
+
+
+def test_native_aln_matches_python():
+    with open(EXAMPLE_ALN, "rb") as fh:
+        text = fh.read()
+    nat = native.encode_aln_bytes(text, 3000)
+    ref = _python_parse_aln(EXAMPLE_ALN)
+    np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_aln_row_cap():
+    text = b"\n".join([b"AAAA"] * 10) + b"\n"
+    out = native.encode_aln_bytes(text, 4)
+    assert out.shape == (4, 4)
+
+
+def test_native_aln_fasta_headers_and_gaps():
+    text = b">header line\nAR-N.\n>x\nBJOUZ\n"
+    out = native.encode_aln_bytes(text, 0)
+    assert out.shape == (2, 5)
+    assert list(out[0]) == [0, 1, 21, 2, 21]
+    assert list(out[1]) == [20, 20, 20, 20, 20]
+
+
+def test_native_tdb_matches_python(tmp_path):
+    from dmpfold2_tpu.train.dataset import parse_tdb
+
+    rng = np.random.default_rng(0)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    lines = ["# header"]
+    L = 30
+    classes = rng.integers(0, 20, L)
+    coords = rng.normal(size=(L, 5, 3)) * 8
+    for i in range(L):
+        row = list(" " * 39)
+        row[5] = letters[classes[i]]
+        line = "".join(row) + "".join(
+            f"{v:9.3f}" for atom in coords[i] for v in atom
+        )
+        lines.append(line)
+    path = tmp_path / "x.tdb"
+    path.write_text("\n".join(lines) + "\n")
+
+    ncls, ncoords = native.parse_tdb_bytes(path.read_bytes())
+    np.testing.assert_array_equal(ncls, classes)
+    np.testing.assert_allclose(ncoords, np.round(coords, 3), atol=1e-4)
+    # and the dataset-level entry point (auto native) agrees
+    dcls, dcoords = parse_tdb(str(path))
+    np.testing.assert_array_equal(dcls, ncls)
+    np.testing.assert_allclose(dcoords, ncoords)
+
+
+def test_native_speedup():
+    with open(EXAMPLE_ALN, "rb") as fh:
+        text = fh.read()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        native.encode_aln_bytes(text, 3000)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(50):
+        _python_parse_aln(EXAMPLE_ALN)
+    t_python = time.perf_counter() - t0
+    # informational: native should not be slower (typically >5x faster)
+    assert t_native < t_python * 2
