@@ -1,0 +1,52 @@
+"""Unified configuration (SURVEY §5: single dataclass, CLI-overridable).
+
+The reference scatters configuration across argparse flags (predict.py:169-182)
+and module constants (train.py:21-33); here one dataclass covers the engine
+and maps 1:1 onto the reference CLI flags, with TPU-specific knobs added.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FoldConfig:
+    # reference-compatible knobs (predict.py:26-28, 169-182)
+    iterations: int = 10
+    minsteps: int = 100
+    device: str | None = None        # accepted for parity; JAX auto-places
+    template: str | None = None
+    weights_file: str | None = None
+
+    # TPU-native knobs
+    precision: str = "fp32"          # "bf16": trunk convs on the MXU in bf16
+    dca_method: str = "cholesky"     # "lu" | "cholesky" | "blocked"
+    use_buckets: bool = True
+    vgru_impl: str = "auto"          # "pallas" | "scan" | "auto"
+    batch_size: int | None = None    # BatchFolder micro-batch per step
+
+    @classmethod
+    def from_cli_args(cls, args) -> "FoldConfig":
+        return cls(
+            iterations=args.iterations,
+            minsteps=args.minsteps,
+            device=args.device,
+            template=args.template,
+            weights_file=args.model_weights,
+        )
+
+
+@dataclass
+class TrainConfig:
+    """Training constants (reference train.py:21-33) plus TPU additions."""
+
+    batch_size: int = 32             # gradient-accumulation span
+    max_aln_size: int = 300 * 1000   # MSA area budget
+    crop_len: int = 350
+    max_iterations: int = 3          # max recycling loops
+    restart: bool = True
+    refine_steps: int = 100
+    micro_batch: int = 1
+    learning_rate_restart: float = 1e-4
+    learning_rate_scratch: float = 3e-4

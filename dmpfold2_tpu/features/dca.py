@@ -33,11 +33,25 @@ NUM_DCA_CHANNELS = 442  # 21*21 couplings + 1 APC-corrected contact channel
 def _spd_inverse(mat, method: str):
     if method == "lu":
         return jnp.linalg.inv(mat)
+    if method == "blocked" or (
+        method == "cholesky" and mat.shape[-1] > _blocked_threshold()
+    ):
+        # stock XLA linalg unrolls into >60 GB of temporaries at the
+        # long-target size — use the memory-bounded blocked algorithm
+        from ..ops.chol import blocked_spd_inverse
+
+        return blocked_spd_inverse(mat)
     # Cholesky inverse: mat = L L^T  =>  inv = L^-T L^-1
     chol = jnp.linalg.cholesky(mat)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     linv = jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True)
     return linv.T @ linv
+
+
+def _blocked_threshold():
+    from ..ops.chol import BLOCKED_THRESHOLD
+
+    return BLOCKED_THRESHOLD
 
 
 @partial(jax.jit, static_argnames=("method",))

@@ -102,7 +102,7 @@ def vgru_final_pallas(layers, alnmat, valid_len, *, interpret: bool = False):
 
     # tile the batch dim so scratch + streamed rows fit VMEM
     tile = batch
-    max_tile = 512
+    max_tile = 256
     if batch > max_tile:
         for n_tiles in range(-(-batch // max_tile), batch + 1):
             if batch % n_tiles == 0:

@@ -1,0 +1,97 @@
+"""Memory-bounded blocked Cholesky inverse for very large SPD matrices.
+
+XLA's stock `cholesky`/`triangular_solve`/`lu` lowerings unroll their blocked
+algorithms at trace level; at the long-target DCA size ((21·768)² ≈ 16128²)
+that materializes ~126 gigabyte-scale temporaries (>60 GB HBM) or overflows
+VMEM — the stress config is uncompilable with stock linalg (SURVEY §7 hard
+part 4). This module implements the classic right-looking blocked algorithms
+as `lax.fori_loop`s over fixed-size column panels, so XLA keeps a single
+in-place working buffer plus one panel of temporaries (~4 GB at 16128²),
+trading ~3× the FLOPs for bounded memory — all of it MXU matmuls.
+
+Used by features.dca for matrices above ``BLOCKED_THRESHOLD``; exact to
+~1e-5 of the stock path (tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BLOCKED_THRESHOLD = 8192  # stock XLA linalg handles sizes below this fine
+DEFAULT_PANEL = 1024
+
+
+def _blocked_cholesky(a, panel: int):
+    """In-place right-looking blocked Cholesky (lower). dim % panel == 0."""
+    m = a.shape[0]
+    n_panels = m // panel
+    idx = jnp.arange(m)
+
+    def body(k, mat):
+        start = k * panel
+        a11 = lax.dynamic_slice(mat, (start, start), (panel, panel))
+        l11 = jnp.linalg.cholesky(a11)
+        strip = lax.dynamic_slice(mat, (0, start), (m, panel))
+        # L21 = A21 L11^-T  (solve over the full strip, then mask)
+        solved = lax.linalg.triangular_solve(
+            l11, strip.T, left_side=True, lower=True
+        ).T
+        row_rel = idx - start
+        lstrip = jnp.where(row_rel[:, None] >= panel, solved, 0.0)
+        lstrip = lax.dynamic_update_slice(lstrip, l11, (start, 0))
+        # trailing update: rows/cols < start+panel of (U U^T) are zero by mask
+        below = jnp.where(row_rel[:, None] >= panel, lstrip, 0.0)
+        mat = mat - below @ below.T
+        mat = lax.dynamic_update_slice(mat, lstrip, (0, start))
+        return mat
+
+    out = lax.fori_loop(0, n_panels, body, a)
+    return jnp.where(idx[:, None] >= idx[None, :], out, 0.0)
+
+
+def _blocked_lower_inverse(l, panel: int):
+    """X = L^-1 by blocked forward substitution. dim % panel == 0."""
+    m = l.shape[0]
+    n_panels = m // panel
+    col = jnp.arange(m)
+
+    def body(k, x):
+        start = k * panel
+        l11 = lax.dynamic_slice(l, (start, start), (panel, panel))
+        lrow = lax.dynamic_slice(l, (start, 0), (panel, m))
+        lrow_prev = jnp.where(col[None, :] < start, lrow, 0.0)
+        contrib = lrow_prev @ x  # uses only the already-computed rows of X
+        eye_rows = jnp.asarray(
+            (col[None, :] - start) == jnp.arange(panel)[:, None], l.dtype
+        )
+        xk = lax.linalg.triangular_solve(
+            l11, eye_rows - contrib, left_side=True, lower=True
+        )
+        return lax.dynamic_update_slice(x, xk, (start, 0))
+
+    return lax.fori_loop(0, n_panels, body, jnp.zeros_like(l))
+
+
+@partial(jax.jit, static_argnames=("panel",))
+def blocked_spd_inverse(a, panel: int = DEFAULT_PANEL):
+    """Inverse of a symmetric positive-definite matrix, bounded memory.
+
+    Pads to a panel multiple with an identity block (block-diagonal, so the
+    valid block's inverse is exact) and computes inv = L^-T L^-1.
+    """
+    m = a.shape[0]
+    pad = (-m) % panel
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        diag = jnp.arange(m + pad) >= m
+        a = a + jnp.diag(jnp.asarray(diag, a.dtype))
+    chol = _blocked_cholesky(a, panel)
+    linv = _blocked_lower_inverse(chol, panel)
+    inv = linv.T @ linv
+    if pad:
+        inv = inv[:m, :m]
+    return inv

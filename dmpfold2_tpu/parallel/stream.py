@@ -23,6 +23,8 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Sequence
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,7 @@ from ..engine.fold import _build_dmap_channel
 from ..features.dca import dca_or_zero
 from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
+from ..utils.obs import Counters, log_target
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision"))
@@ -67,6 +70,8 @@ class BatchFolder:
     batch_size: int | None = None  # default: number of data-axis shards
     precision: str = "fp32"
     dca_method: str = "cholesky"
+    verbose: bool = False          # per-target JSON logs (utils.obs)
+    counters: Counters = field(default_factory=Counters)
 
     def _n_data(self) -> int:
         if self.mesh is None:
@@ -114,6 +119,7 @@ class BatchFolder:
                 else:
                     params = self.params
 
+                t_start = time.perf_counter()
                 coords, confs = _fold_batch(
                     params, *args, jnp.asarray(max(iterations, 0)),
                     jnp.asarray(max(minsteps, 0)),
@@ -121,7 +127,15 @@ class BatchFolder:
                 )
                 coords = np.asarray(coords)
                 confs = np.asarray(confs)
+                elapsed = time.perf_counter() - t_start
                 for bi, ti in enumerate(chunk):
                     nr = int(nres_b[bi])
                     results[ti] = (coords[bi, :nr], confs[bi, :nr])
+                    self.counters.record(nr)
+                    if self.verbose:
+                        log_target(
+                            f"target[{ti}]", int(nseqs_b[bi]), nr,
+                            (n_pad, l_pad), elapsed / len(chunk),
+                            float(confs[bi, :nr].mean()),
+                        )
         return results

@@ -45,3 +45,18 @@ def test_batch_dp_mesh(params, targets):
         sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
         np.testing.assert_allclose(bf, sf, atol=1e-4)
         np.testing.assert_allclose(bc, sc, atol=2e-3)
+
+
+def test_counters_and_logging(params, targets, tmp_path, monkeypatch):
+    logfile = tmp_path / "targets.jsonl"
+    monkeypatch.setenv("DMPFOLD2_TPU_LOG", str(logfile))
+    batched = BatchFolder(params, batch_size=2, verbose=True)
+    batched.fold_many(targets[:3], iterations=0, minsteps=0)
+    assert batched.counters.targets == 3
+    assert batched.counters.targets_per_s() > 0
+    import json
+
+    lines = [json.loads(l) for l in logfile.read_text().splitlines()]
+    assert len(lines) == 3
+    assert all(l["event"] == "target_folded" for l in lines)
+    assert lines[0]["nres"] == targets[0].alnmat.shape[1]
