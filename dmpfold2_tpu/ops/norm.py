@@ -18,15 +18,17 @@ def masked_instance_norm(x, gamma, beta, mask=None, eps: float = 1e-5):
     (batch, channel) statistics over the spatial dims, biased variance.
     Output is re-masked so padding stays exactly zero.
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # statistics always in fp32 (bf16-safe)
     if mask is None:
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-        return (x - mean) / jnp.sqrt(var + eps) * gamma + beta
+        return ((x - mean) / jnp.sqrt(var + eps) * gamma + beta).astype(in_dtype)
     count = jnp.maximum(jnp.sum(mask, axis=(1, 2), keepdims=True), 1.0)
     mean = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / count
     var = jnp.sum(jnp.square(x - mean) * mask, axis=(1, 2), keepdims=True) / count
     out = (x - mean) / jnp.sqrt(var + eps) * gamma + beta
-    return out * mask
+    return (out * mask).astype(in_dtype)
 
 
 def masked_spatial_mean(x, mask=None):
