@@ -18,6 +18,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host startup: call once per host before building meshes.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects cluster
+    env on TPU pods; explicit args for manual launch). After this,
+    ``jax.devices()`` spans the slice and :func:`make_mesh` builds a global
+    mesh — DCN carries the cross-host target stream, ICI the collectives.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = {
+            "coordinator_address": coordinator,
+            "num_processes": num_processes,
+            "process_id": process_id,
+        }
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data: int | None = None, n_seq: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:

@@ -78,6 +78,13 @@ class BatchFolder:
             return 1
         return self.mesh.shape.get("data", 1)
 
+    def _fold_single(self, target: Target, iterations: int, minsteps: int):
+        from ..engine.fold import Folder
+
+        folder = Folder(self.params, precision=self.precision,
+                        dca_method=self.dca_method)
+        return folder.fold(target.alnmat, target.template_ca, iterations, minsteps)
+
     def fold_many(self, targets: Sequence[Target], iterations: int = 10,
                   minsteps: int = 100):
         """Fold all targets; returns results in input order as
@@ -120,13 +127,32 @@ class BatchFolder:
                     params = self.params
 
                 t_start = time.perf_counter()
-                coords, confs = _fold_batch(
-                    params, *args, jnp.asarray(max(iterations, 0)),
-                    jnp.asarray(max(minsteps, 0)),
-                    dca_method=self.dca_method, precision=self.precision,
-                )
-                coords = np.asarray(coords)
-                confs = np.asarray(confs)
+                try:
+                    coords, confs = _fold_batch(
+                        params, *args, jnp.asarray(max(iterations, 0)),
+                        jnp.asarray(max(minsteps, 0)),
+                        dca_method=self.dca_method, precision=self.precision,
+                    )
+                    coords = np.asarray(coords)
+                    confs = np.asarray(confs)
+                except Exception as exc:  # failure tolerance: requeue singly
+                    # a whole batch failed (e.g. OOM at this bucket) — retry
+                    # each target alone so one bad target can't sink its
+                    # batchmates; individual failures are skipped + logged
+                    # (the reference's inline-skip strategy, train.py:81-84)
+                    log_target("batch_failed", 0, 0, (n_pad, l_pad), 0.0,
+                               None, event="batch_error", error=str(exc)[:200])
+                    for ti in chunk:
+                        try:
+                            results[ti] = self._fold_single(
+                                targets[ti], iterations, minsteps)
+                            self.counters.record(results[ti][0].shape[0])
+                        except Exception as exc2:
+                            results[ti] = None
+                            log_target(f"target[{ti}]", *targets[ti].alnmat.shape,
+                                       None, 0.0, None, event="target_error",
+                                       error=str(exc2)[:200])
+                    continue
                 elapsed = time.perf_counter() - t_start
                 for bi, ti in enumerate(chunk):
                     nr = int(nres_b[bi])
