@@ -16,6 +16,11 @@ from dmpfold2_tpu.weights import convert_state_dict, load_params, save_params
 from torch_oracle import OracleGRUResNet
 
 EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(EXAMPLE_ALN),
+    reason="reference example data not mounted",
+)
 EXAMPLE_PDB = "/root/reference/dmpfold/example/3FGX.pdb"
 
 

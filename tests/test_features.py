@@ -16,6 +16,11 @@ from dmpfold2_tpu.utils import aln
 
 EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
 
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(EXAMPLE_ALN),
+    reason="reference example data not mounted",
+)
+
 
 def torch_reweight(msa1hot, cutoff=0.8):
     id_min = msa1hot.shape[1] * cutoff

@@ -6,6 +6,11 @@ import pytest
 from dmpfold2_tpu.utils import aln, pdb
 
 EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(EXAMPLE_ALN),
+    reason="reference example data not mounted",
+)
 EXAMPLE_PDB = "/root/reference/dmpfold/example/3FGX.pdb"
 
 

@@ -9,6 +9,11 @@ from dmpfold2_tpu.utils import aln, native
 
 EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
 
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(EXAMPLE_ALN),
+    reason="reference example data not mounted",
+)
+
 
 @pytest.fixture(scope="module", autouse=True)
 def require_native():
