@@ -111,20 +111,25 @@ def measure_ours(params) -> dict:
     folder = Folder(params)
 
     bf16 = Folder(params, precision="bf16")
+    # template-seeded config (BASELINE config 3): template = prior CA trace
+    base_c, _ = folder.fold(alnmat, iterations=0, minsteps=0)
+    template = np.ascontiguousarray(base_c[:, 1, :], dtype=np.float32)
+
     results = {}
     configs = {
-        "default": (folder, ITERATIONS, MINSTEPS),
-        "fastest": (folder, 0, 0),
-        "default_bf16": (bf16, ITERATIONS, MINSTEPS),
+        "default": (folder, ITERATIONS, MINSTEPS, None),
+        "fastest": (folder, 0, 0, None),
+        "default_bf16": (bf16, ITERATIONS, MINSTEPS, None),
+        "template_n30_m200": (folder, 30, 200, template),
     }
-    for name, (f, it, ms) in configs.items():
+    for name, (f, it, ms, tmpl) in configs.items():
         t0 = time.perf_counter()
-        f.fold(alnmat, iterations=it, minsteps=ms)
+        f.fold(alnmat, template_ca=tmpl, iterations=it, minsteps=ms)
         log(f"{name}: first call (compile+run) {time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            f.fold(alnmat, iterations=it, minsteps=ms)
+            f.fold(alnmat, template_ca=tmpl, iterations=it, minsteps=ms)
             times.append(time.perf_counter() - t0)
         results[name] = min(times)
         log(f"{name}: best of 3 = {results[name]*1000:.1f}ms")
@@ -199,6 +204,7 @@ def main():
         "extra": {
             "fastest_mode_s": round(ours["fastest"], 4),
             "default_bf16_s": round(ours["default_bf16"], 4),
+            "template_n30_m200_s": round(ours["template_n30_m200"], 4),
             "trunk_ms_per_residue_L256": round(trunk_ms, 4),
             "targets_per_s_default": round(tps, 3),
             "reference_cpu_default_s": round(ref, 2),

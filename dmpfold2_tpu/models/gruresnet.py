@@ -88,7 +88,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
       nseqs, nres: true sizes (scalars, may be traced).
       nloops, refine_steps: recycling iterations / refinement steps (traced).
       rngs: optional dict of PRNG keys enabling train-time dropout
-            ({"hgru", "trunk", "coord", "recycle"}).
+            ({"hgru", "init", "recycle"}).
       remat: checkpoint the trunk blocks (training memory saver).
 
     Returns:

@@ -106,3 +106,18 @@ def test_bf16_trunk_close_to_fp32(params):
     # confidences agree closely; coordinates agree to sub-Angstrom scale
     np.testing.assert_allclose(f16, f32, atol=0.05)
     assert np.abs(c16 - c32).mean() < 1.0
+
+
+def test_template_seeded_fold(params):
+    """Template path: CA distances enter as the dmap seed channel."""
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:30]
+    folder = Folder(params)
+    base_c, base_f = folder.fold(alnmat, iterations=0, minsteps=0)
+    # use the predicted CA trace as a "template" of matching length
+    template = base_c[:, 1, :].astype(np.float32)
+    tmpl_c, tmpl_f = folder.fold(alnmat, template_ca=template,
+                                 iterations=0, minsteps=0)
+    assert tmpl_c.shape == base_c.shape
+    assert np.isfinite(tmpl_c).all()
+    # the seed channel must actually change the result
+    assert np.abs(tmpl_c - base_c).max() > 1e-3
