@@ -38,9 +38,9 @@ from ..models import gruresnet
 from ..utils.obs import Counters, log_target
 
 
-@partial(jax.jit, static_argnames=("dca_method", "precision"))
+@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                dca_method="cholesky", precision="fp32"):
+                dca_method="cholesky", precision="fp32", vgru_impl="scan"):
     """Batched fold: (B, N, L) -> ((B, L, 5, 3), (B, L))."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
@@ -50,7 +50,7 @@ def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         dca = dca_or_zero(oh, w, ns, nr, method=dca_method)
         x2 = jnp.concatenate([dca, dmap[:, :, None]], axis=2)
         return gruresnet.forward(params, aln, x2, ns, nr, nloops, refine_steps,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype, vgru_impl=vgru_impl)
 
     return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres, dmap_channel)
 
@@ -70,6 +70,10 @@ class BatchFolder:
     batch_size: int | None = None  # default: number of data-axis shards
     precision: str = "fp32"
     dca_method: str = "cholesky"
+    # vmap over the pallas kernel prepends a grid dim (batch elements scan
+    # rows serially), while a vmapped lax.scan batches each step's matmuls —
+    # measured 2x faster at B=8. The kernel wins only for single targets.
+    vgru_impl: str = "scan"
     verbose: bool = False          # per-target JSON logs (utils.obs)
     counters: Counters = field(default_factory=Counters)
 
@@ -77,6 +81,9 @@ class BatchFolder:
         if self.mesh is None:
             return 1
         return self.mesh.shape.get("data", 1)
+
+    def _vgru_impl(self) -> str:
+        return self.vgru_impl
 
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
@@ -132,6 +139,7 @@ class BatchFolder:
                         params, *args, jnp.asarray(max(iterations, 0)),
                         jnp.asarray(max(minsteps, 0)),
                         dca_method=self.dca_method, precision=self.precision,
+                        vgru_impl=self._vgru_impl(),
                     )
                     coords = np.asarray(coords)
                     confs = np.asarray(confs)
