@@ -1,0 +1,52 @@
+"""HTTP folding service tests (in-process server, tiny model)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+import jax
+
+from dmpfold2_tpu.models import gruresnet
+from dmpfold2_tpu.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+    server = serve(params, host="127.0.0.1", port=0, precision="fp32")
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(f"{server_url}/healthz") as resp:
+        assert resp.status == 200
+
+
+def test_fold_roundtrip(server_url):
+    aln_text = ">query\nIKLTVGGVDITFEPN\nITLTIAGTDISFEPT\nIVLGVAGTDLTFKPT\n"
+    req = urllib.request.Request(
+        f"{server_url}/fold?iterations=1&minsteps=2",
+        data=aln_text.encode(), method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        body = resp.read().decode()
+    assert body.startswith("REMARK  CONF:")
+    assert "ATOM" in body and body.rstrip().endswith("END")
+
+    with urllib.request.urlopen(f"{server_url}/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["targets"] >= 1
+
+
+def test_fold_bad_input(server_url):
+    req = urllib.request.Request(f"{server_url}/fold", data=b"", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
