@@ -159,8 +159,12 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
 
     carry = (ca_coords, best_mean, best_conf, best_coords)
     if isinstance(nloops, int):
-        for i in range(nloops):
-            carry = recycle_body(i, carry)
+        # static trip count (training: reverse-mode AD) — scan compiles the
+        # recycle body once instead of unrolling nloops copies of the trunk
+        if nloops > 0:
+            def scan_body(c, i):
+                return recycle_body(i, c), None
+            carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(nloops))
     else:
         carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
     _, _, best_conf, best_coords = carry
