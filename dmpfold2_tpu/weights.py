@@ -106,10 +106,14 @@ def load_params(path: str):
     import jax
 
     data = np.load(path)
-    # rebuild against a skeleton with the right structure
+    # rebuild a skeleton matching the stored architecture (hyperparameters
+    # inferred from array shapes, so non-default widths round-trip too)
     from .models.gruresnet import init_params
 
-    skeleton = init_params(jax.random.PRNGKey(0))
+    width = int(data["['coord_fc']"].shape[0])
+    blocks_gamma = data["['trunk']['blocks']['maxout']['gamma']"]
+    num_blocks, cwidth = int(blocks_gamma.shape[0]), int(blocks_gamma.shape[1])
+    skeleton = init_params(jax.random.PRNGKey(0), width, cwidth, num_blocks)
     flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
     leaves = [jnp.asarray(data[jax.tree_util.keystr(kp)]) for kp, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)

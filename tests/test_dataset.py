@@ -129,3 +129,14 @@ def test_train_loop_end_to_end(data_dir, tmp_path):
     train(**{**kwargs, "restart": True})
     state1 = ckpt.load_train_state(str(tmp_path))
     assert state1["epoch"] == state0["epoch"] + 1
+
+
+def test_load_params_infers_architecture(tmp_path):
+    from dmpfold2_tpu.weights import load_params, save_params
+
+    params = gruresnet.init_params(jax.random.PRNGKey(3), width=32, cwidth=16, num_blocks=3)
+    path = str(tmp_path / "tiny.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
