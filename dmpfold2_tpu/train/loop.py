@@ -24,8 +24,9 @@ from .dataset import BATCH_SIZE, DMPDataset, load_cluster_list, pad_to_bucket
 from .step import MAX_ITERATIONS, TrainBatch, make_optimizer, train_step
 
 
-def _make_batches(dataset, indices, micro_batch: int):
-    for start in range(0, len(indices) - micro_batch + 1, micro_batch):
+def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
+    end = len(indices) - micro_batch + 1 if drop_last else len(indices)
+    for start in range(0, max(end, 0), micro_batch):
         samples = [dataset[i] for i in indices[start : start + micro_batch]]
         alnmat, targets, nseqs, nres = pad_to_bucket(samples)
         yield TrainBatch(
@@ -86,11 +87,14 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
                 train_err += loss * batch.alnmat.shape[0]
                 train_samples += batch.alnmat.shape[0]
 
-        # fixed-seed validation with nloops=2 (train.py:383-389)
+        # fixed-seed validation with nloops=2 (train.py:383-389); the jax
+        # key is fixed too so teacher-forcing draws repeat across epochs
         val_data.rng = random.Random(1)
+        val_rng = jax.random.PRNGKey(1)
         val_err, val_samples = 0.0, 0
-        for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch):
-            rng, sub = jax.random.split(rng)
+        for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
+                                   drop_last=False):
+            val_rng, sub = jax.random.split(val_rng)
             _, _, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
                 nloops=2, refine_steps=refine_steps, train=False,
