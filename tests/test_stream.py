@@ -60,3 +60,20 @@ def test_counters_and_logging(params, targets, tmp_path, monkeypatch):
     assert len(lines) == 3
     assert all(l["event"] == "target_folded" for l in lines)
     assert lines[0]["nres"] == targets[0].alnmat.shape[1]
+
+
+def test_profile_context(tmp_path):
+    """obs.profile produces a TensorBoard-readable trace directory."""
+    import jax.numpy as jnp
+
+    from dmpfold2_tpu.utils.obs import profile
+
+    logdir = str(tmp_path / "trace")
+    with profile(logdir):
+        jnp.zeros((8, 8)).sum().block_until_ready()
+    import os
+
+    found = []
+    for root, _, files in os.walk(logdir):
+        found.extend(files)
+    assert found  # trace artifacts written
