@@ -121,3 +121,30 @@ def test_template_seeded_fold(params):
     assert np.isfinite(tmpl_c).all()
     # the seed channel must actually change the result
     assert np.abs(tmpl_c - base_c).max() > 1e-3
+
+
+def test_single_sequence_fold(params):
+    """nseqs==1: DCA features are zero (reference predict.py:139)."""
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:1]
+    coords, confs = Folder(params).fold(alnmat, iterations=1, minsteps=3)
+    assert coords.shape == (82, 5, 3)
+    assert np.isfinite(coords).all()
+
+
+def test_short_protein_fold(params):
+    """Very short chains must not produce NaNs (terminal-dummy gathers)."""
+    rng = np.random.default_rng(0)
+    alnmat = rng.integers(0, 20, (5, 6)).astype(np.uint8)
+    coords, confs = Folder(params).fold(alnmat, iterations=1, minsteps=3)
+    assert coords.shape == (6, 5, 3)
+    assert np.isfinite(coords).all()
+
+
+def test_gap_heavy_alignment(params):
+    """Alignments dominated by gaps still fold (gap class 21 in the GRU)."""
+    rng = np.random.default_rng(1)
+    alnmat = np.full((8, 24), 21, np.uint8)
+    alnmat[0] = rng.integers(0, 20, 24)  # query ungapped
+    alnmat[1:, ::3] = 5
+    coords, confs = Folder(params).fold(alnmat, iterations=0, minsteps=0)
+    assert np.isfinite(coords).all()
