@@ -159,7 +159,7 @@ def measure_trunk_ms_per_residue(params) -> float:
     return ms / l
 
 
-def measure_targets_per_s(params, batch_size: int = 8, n_targets: int = 16) -> float:
+def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 32) -> float:
     """Throughput on a Pfam-like batch (same-bucket targets, default config)."""
     from dmpfold2_tpu.parallel.stream import BatchFolder, Target
     from dmpfold2_tpu.utils.aln import parse_aln

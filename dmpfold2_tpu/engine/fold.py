@@ -93,6 +93,17 @@ class Folder:
             return self.vgru_impl
         return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
 
+    def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
+        """Precompile the fold program for the given (nseqs, nres) buckets.
+
+        Serving deployments call this at startup so the first real request
+        doesn't pay compilation (compiles are also cached on disk when
+        ``jax_compilation_cache_dir`` is set).
+        """
+        for nseqs, nres in shapes:
+            self.fold(np.zeros((nseqs, nres), np.uint8),
+                      iterations=iterations, minsteps=minsteps)
+
 
 def _default_weight_paths():
     modeldir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

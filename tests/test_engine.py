@@ -148,3 +148,8 @@ def test_gap_heavy_alignment(params):
     alnmat[1:, ::3] = 5
     coords, confs = Folder(params).fold(alnmat, iterations=0, minsteps=0)
     assert np.isfinite(coords).all()
+
+
+def test_warmup(params):
+    folder = Folder(params)
+    folder.warmup(shapes=((8, 32),))  # compiles the bucket; no exception
