@@ -33,13 +33,22 @@ DEFAULT_MINSTEPS = 100
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                  dca_method="cholesky", precision="fp32", vgru_impl="scan"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
-    oh = msa_one_hot(alnmat, nseqs, nres)
-    w = reweight(oh, nres)
-    dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
-    x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
-    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
-    return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-                             compute_dtype=compute_dtype, vgru_impl=vgru_impl)
+    def body():
+        oh = msa_one_hot(alnmat, nseqs, nres)
+        w = reweight(oh, nres)
+        dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
+        x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
+        compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+        return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
+                                 refine_steps, compute_dtype=compute_dtype,
+                                 vgru_impl=vgru_impl)
+
+    if precision == "fp32_strict":
+        # full fp32 matmuls everywhere (TPU default decomposes f32 into
+        # bf16 passes); the bit-fidelity mode for released-weights checks
+        with jax.default_matmul_precision("highest"):
+            return body()
+    return body()
 
 
 def _build_dmap_channel(l_pad: int, nres: int, template_ca: np.ndarray | None):
@@ -69,7 +78,7 @@ class Folder:
     params: dict
     use_buckets: bool = True
     dca_method: str = "cholesky"
-    precision: str = "fp32"   # "bf16": trunk convs on the MXU in bf16
+    precision: str = "fp32"   # "bf16" | "fp32" | "fp32_strict" (bit-fidelity)
     vgru_impl: str = "auto"   # "pallas" on TPU, "scan" elsewhere
 
     def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,

@@ -66,6 +66,16 @@ class Counters:
     def targets_per_s(self) -> float:
         return self.targets / max(self.seconds, 1e-9)
 
+    @classmethod
+    def merge(cls, counters) -> "Counters":
+        """Aggregate per-host counters (earliest start wins)."""
+        merged = cls()
+        merged.started = min((c.started for c in counters), default=merged.started)
+        for c in counters:
+            merged.targets += c.targets
+            merged.residues += c.residues
+        return merged
+
     def summary(self) -> dict:
         return {
             "targets": self.targets,

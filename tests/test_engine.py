@@ -153,3 +153,19 @@ def test_gap_heavy_alignment(params):
 def test_warmup(params):
     folder = Folder(params)
     folder.warmup(shapes=((8, 32),))  # compiles the bucket; no exception
+
+
+def test_fold_deterministic(params):
+    """Determinism-by-construction: identical runs are bit-identical."""
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:25]
+    folder = Folder(params)
+    c1, f1 = folder.fold(alnmat, iterations=1, minsteps=5)
+    c2, f2 = folder.fold(alnmat, iterations=1, minsteps=5)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_fp32_strict_mode(params):
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:20]
+    c, f = Folder(params, precision="fp32_strict").fold(alnmat, iterations=0, minsteps=0)
+    assert np.isfinite(c).all()

@@ -77,3 +77,13 @@ def test_profile_context(tmp_path):
     for root, _, files in os.walk(logdir):
         found.extend(files)
     assert found  # trace artifacts written
+
+
+def test_counters_merge():
+    from dmpfold2_tpu.utils.obs import Counters
+
+    a, b = Counters(), Counters()
+    a.record(10); a.record(20); b.record(30)
+    merged = Counters.merge([a, b])
+    assert merged.targets == 3
+    assert merged.residues == 60
