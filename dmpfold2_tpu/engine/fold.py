@@ -29,9 +29,11 @@ DEFAULT_ITERATIONS = 10
 DEFAULT_MINSTEPS = 100
 
 
-@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl"))
+@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
+                                   "fused_conv"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                 dca_method="cholesky", precision="fp32", vgru_impl="scan"):
+                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
+                 fused_conv=False):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
@@ -41,7 +43,7 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
         compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
                                  refine_steps, compute_dtype=compute_dtype,
-                                 vgru_impl=vgru_impl)
+                                 vgru_impl=vgru_impl, fused_conv=fused_conv)
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -93,7 +95,7 @@ class Folder:
             self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
             dca_method=self.dca_method, precision=self.precision,
-            vgru_impl=self._vgru_impl(),
+            vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
         )
         return np.asarray(coords[:nres]), np.asarray(confs[:nres])
 
@@ -101,6 +103,10 @@ class Folder:
         if self.vgru_impl != "auto":
             return self.vgru_impl
         return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+
+    def _fused_conv(self) -> bool:
+        # Pallas fused conv+maxout: bf16 policy on TPU only
+        return self.precision == "bf16" and jax.default_backend() not in ("cpu",)
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.

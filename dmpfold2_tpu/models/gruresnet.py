@@ -56,10 +56,11 @@ class TrunkHeads(NamedTuple):
 
 
 def _trunk_heads(params, resinp, nres, pair_mask, row_mask, *, dropout_rng=None,
-                 remat: bool = False, compute_dtype=None) -> TrunkHeads:
+                 remat: bool = False, compute_dtype=None,
+                 fused_conv: bool = False) -> TrunkHeads:
     out = trunk_apply(params["trunk"], resinp[None], pair_mask[None, :, :, None],
                       dropout_rng=dropout_rng, remat=remat,
-                      compute_dtype=compute_dtype)[0]
+                      compute_dtype=compute_dtype, fused_conv=fused_conv)[0]
     dm = out[:, :, 0]
     conf = jnp.sum(out[:, :, 1] * row_mask[None, :], axis=1) / nres
     return TrunkHeads(dm, conf)
@@ -77,7 +78,7 @@ def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
 
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
-            vgru_impl: str = "scan"):
+            vgru_impl: str = "scan", fused_conv: bool = False):
     """Run the full network.
 
     Args:
@@ -125,7 +126,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         resinp = jnp.concatenate([resinp_base, dmap_channel[:, :, None]], axis=2)
         heads = _trunk_heads(params, resinp, nres, pair_mask, row_mask,
                              dropout_rng=trunk_rng, remat=remat,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, fused_conv=fused_conv)
         ca = _coords_head(params, mat1d, heads.dm, nres, nres,
                           dropout_rng=coord_rng)
         return ca, heads.conf

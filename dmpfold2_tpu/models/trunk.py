@@ -35,6 +35,13 @@ DEFAULT_WIDTH = 128
 NUM_BLOCKS = 16
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
+KSIZE_FUSED = 5
+
+
+def _sharding_inactive() -> bool:
+    from ..parallel.sharding import _active_spec
+
+    return _active_spec() is None
 
 
 def conv2d(x, w, b=None, dilation: int = 1, compute_dtype=None):
@@ -93,15 +100,29 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
     }
 
 
-def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=None):
+def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=None,
+             fused_conv: bool = False):
     """Conv to C*pool channels, max over pool groups, instance norm.
 
     With ``compute_dtype=bfloat16`` the activation chain stays bf16 (norm
     statistics are still fp32) to halve the HBM traffic between convs.
+    ``fused_conv`` routes the 5x5 conv+bias+maxout through the Pallas kernel
+    (kernels/conv_block.py, ~25% faster on TPU; bf16 + unsharded only).
     """
-    out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
-    b, h, w, c = out.shape
-    out = out.reshape(b, h, w, c // pool, pool).max(axis=-1)
+    ksize = params["w"].shape[0]
+    use_fused = (
+        fused_conv and ksize == KSIZE_FUSED and dilation == 1
+        and compute_dtype == jnp.bfloat16 and _sharding_inactive()
+    )
+    if use_fused:
+        from ..kernels.conv_block import conv5x5_maxout
+
+        out = conv5x5_maxout(x.astype(jnp.bfloat16), params["w"], params["b"],
+                             pool=pool)
+    else:
+        out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
+        b, h, w, c = out.shape
+        out = out.reshape(b, h, w, c // pool, pool).max(axis=-1)
     out = masked_instance_norm(out, params["gamma"], params["beta"], mask)
     if compute_dtype is not None:
         out = out.astype(compute_dtype)
@@ -142,7 +163,8 @@ def block_params(key, width: int, ksize: int, block_idx: int):
 
 
 def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
-                 dropout_rate: float = 0.2, compute_dtype=None):
+                 dropout_rate: float = 0.2, compute_dtype=None,
+                 fused_conv: bool = False):
     """Residual block (reference: dmpfold/network.py:85-103)."""
     out = x
     if dropout_rng is not None and dropout_rate > 0.0:
@@ -154,7 +176,7 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
         m2 = jax.random.bernoulli(r2, keep, (out.shape[0], 1, 1, out.shape[3]))
         out = jnp.where(m2, out / keep, 0.0)
     out = maxout2d(params["maxout"], out, pool=4, dilation=dilation, mask=mask,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, fused_conv=fused_conv)
     out = scse(params["scse"], out, mask)
     out = (out + x).astype(x.dtype)
     if mask is not None:
@@ -179,7 +201,7 @@ def trunk_params(key, in_channels: int = TRUNK_IN_CHANNELS, width: int = DEFAULT
 
 
 def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False,
-                compute_dtype=None):
+                compute_dtype=None, fused_conv: bool = False):
     """(B, L, L, 955) -> (B, L, L, 2): distance-map + confidence channels.
 
     ``compute_dtype=jnp.bfloat16`` runs the convs (~85% of pipeline FLOPs,
@@ -203,11 +225,13 @@ def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False,
     def body(carry, block):
         if rngs is None:
             p = block
-            new = resnet_block(p, carry, mask, compute_dtype=compute_dtype)
+            new = resnet_block(p, carry, mask, compute_dtype=compute_dtype,
+                               fused_conv=fused_conv)
         else:
             p, rng = block
             new = resnet_block(p, carry, mask, dropout_rng=rng,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               fused_conv=fused_conv)
         return shard_pair(new), None
 
     if remat:

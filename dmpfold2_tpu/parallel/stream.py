@@ -38,9 +38,11 @@ from ..models import gruresnet
 from ..utils.obs import Counters, log_target
 
 
-@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl"))
+@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
+                                   "fused_conv"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                dca_method="cholesky", precision="fp32", vgru_impl="scan"):
+                dca_method="cholesky", precision="fp32", vgru_impl="scan",
+                fused_conv=False):
     """Batched fold: (B, N, L) -> ((B, L, 5, 3), (B, L))."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
@@ -50,7 +52,8 @@ def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         dca = dca_or_zero(oh, w, ns, nr, method=dca_method)
         x2 = jnp.concatenate([dca, dmap[:, :, None]], axis=2)
         return gruresnet.forward(params, aln, x2, ns, nr, nloops, refine_steps,
-                                 compute_dtype=compute_dtype, vgru_impl=vgru_impl)
+                                 compute_dtype=compute_dtype, vgru_impl=vgru_impl,
+                                 fused_conv=fused_conv)
 
     return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres, dmap_channel)
 
@@ -84,6 +87,12 @@ class BatchFolder:
 
     def _vgru_impl(self) -> str:
         return self.vgru_impl
+
+    def _fused_conv(self) -> bool:
+        # the batched forward is vmapped per target, and vmap cannot block
+        # the kernel's ANY-memory-space operand — the tall-stacked batched
+        # kernel needs a natively-batched forward to apply here (future work)
+        return False
 
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
@@ -140,6 +149,7 @@ class BatchFolder:
                         jnp.asarray(max(minsteps, 0)),
                         dca_method=self.dca_method, precision=self.precision,
                         vgru_impl=self._vgru_impl(),
+                        fused_conv=self._fused_conv(),
                     )
                     coords = np.asarray(coords)
                     confs = np.asarray(confs)

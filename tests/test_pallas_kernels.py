@@ -35,3 +35,44 @@ def test_vgru_kernel_masked(layers):
     ref = _ref(layers, aln, valid)
     out = vgru_final_pallas(layers, aln, valid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_conv_maxout_matches_xla():
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
+
+    rng = np.random.default_rng(2)
+    B, L, C, CO = 2, 16, 8, 32
+    x = jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
+    out = conv5x5_maxout(x, w, b, interpret=True)
+
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b
+    ref = ref.reshape(B, L, L, CO // 4, 4).max(-1)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.05
+    )
+
+
+def test_fused_conv_in_trunk_interpret(monkeypatch):
+    """maxout2d(fused_conv=True) must agree with the XLA path (bf16 scale)."""
+    import dmpfold2_tpu.kernels.conv_block as cb
+    from dmpfold2_tpu.models import trunk as T
+
+    orig = cb.conv5x5_maxout
+    monkeypatch.setattr(
+        cb, "conv5x5_maxout",
+        lambda x, w, b, pool=4: orig(x, w, b, pool=pool, interpret=True),
+    )
+    rng = np.random.default_rng(3)
+    params = T.maxout_params(jax.random.PRNGKey(0), 8, 8, pool=4, ksize=5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)), jnp.float32)
+    ref = T.maxout2d(params, x, pool=4, compute_dtype=jnp.bfloat16)
+    out = T.maxout2d(params, x, pool=4, compute_dtype=jnp.bfloat16, fused_conv=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.1
+    )
