@@ -39,6 +39,19 @@ def gru_layer_params(key, input_size: int, hidden_size: int, dtype=jnp.float32):
     }
 
 
+def _keep_mask(t, valid_len):
+    """t < valid_len, broadcastable over a (B, H) state.
+
+    ``valid_len`` may be a scalar (one sequence) or a (B,) vector of
+    per-batch-column lengths (natively-batched mode).
+    """
+    valid_len = jnp.asarray(valid_len)
+    keep = t < valid_len
+    if keep.ndim:
+        keep = keep[:, None]
+    return keep
+
+
 def _gates(xproj, hproj, h, hidden_size: int):
     r = jax.nn.sigmoid(xproj[..., :hidden_size] + hproj[..., :hidden_size])
     z = jax.nn.sigmoid(
@@ -65,10 +78,11 @@ def gru_scan(params, x, *, reverse: bool = False, valid_len=None):
         t, xp = inp
         h_new = _gates(xp, h @ params["wh"] + params["bh"], h, hidden_size)
         if valid_len is not None:
+            keep = _keep_mask(t, valid_len)
             if reverse:
-                h_new = jnp.where(t < valid_len, h_new, jnp.zeros_like(h_new))
+                h_new = jnp.where(keep, h_new, jnp.zeros_like(h_new))
             else:
-                h_new = jnp.where(t < valid_len, h_new, h)
+                h_new = jnp.where(keep, h_new, h)
         return h_new, h_new
 
     _, ys = jax.lax.scan(step, h0, (t_idx, xproj), reverse=reverse)
@@ -149,7 +163,7 @@ def unigru_stack_final(layers, x, valid_len=None):
                 xp = layer_in @ p["wi"] + p["bi"]
             h_new = _gates(xp, h @ p["wh"] + p["bh"], h, hidden)
             if valid_len is not None:
-                h_new = jnp.where(t < valid_len, h_new, h)
+                h_new = jnp.where(_keep_mask(t, valid_len), h_new, h)
             new_hs.append(h_new)
             layer_in = h_new
         return tuple(new_hs), None

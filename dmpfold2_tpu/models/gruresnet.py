@@ -173,3 +173,79 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     best_coords = refine_coords(best_coords, refine_steps, nres)
     coords_out = calpha_to_main_chain(best_coords, nres)
     return coords_out, jax.nn.sigmoid(best_conf)
+
+
+def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
+                    compute_dtype=None, fused_conv: bool = False):
+    """Natively-batched forward: (B, N, L) alignments -> ((B, L, 5, 3), (B, L)).
+
+    Equivalent to ``vmap(forward)`` but the trunk runs on the whole stacked
+    batch (one conv per block instead of B mapped ones), which the Pallas
+    fused conv kernel requires (it cannot be vmapped across its HBM operand)
+    and which batches the GRU matmuls over B·L columns. Per-target sizes
+    enter as (B,) vectors; masking semantics match the single-target path
+    exactly (tested).
+    """
+    batch, n_rows, l_pad = alnmat.shape
+    row_mask = jnp.arange(l_pad)[None, :] < nres[:, None]           # (B, L)
+    pair_mask = row_mask[:, :, None] & row_mask[:, None, :]          # (B, L, L)
+    nres_f = jnp.asarray(nres, jnp.float32)
+
+    # --- vertical GRU over MSA rows: columns = B*L residue positions
+    x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
+    x_cols = jnp.transpose(x, (1, 0, 2, 3)).reshape(n_rows, batch * l_pad, -1)
+    col_valid = jnp.repeat(nseqs, l_pad)                             # (B*L,)
+    seq_embed = gru.unigru_stack_final(params["vgru"], x_cols, valid_len=col_valid)
+    seq_embed = seq_embed.reshape(batch, l_pad, -1)                  # (B, L, 512)
+
+    # --- horizontal biGRU over residues: batch dim = targets
+    hin = jnp.transpose(seq_embed, (1, 0, 2))                        # (L, B, 512)
+    mat1d = gru.bigru_stack(params["hgru"], hin, nres)
+    mat1d = jnp.transpose(mat1d, (1, 0, 2)) * row_mask[..., None]    # (B, L, 512)
+
+    pair = mat1d[:, :, None, :] * mat1d[:, None, :, :]               # (B, L, L, 512)
+    resinp_base = jnp.concatenate([pair, x2[..., :-1]], axis=3)      # (B, L, L, 954)
+
+    def run_iteration(dmap_channel):
+        resinp = jnp.concatenate([resinp_base, dmap_channel[..., None]], axis=3)
+        out = trunk_apply(params["trunk"], resinp, pair_mask[..., None],
+                          compute_dtype=compute_dtype, fused_conv=fused_conv)
+        dm = out[..., 0]
+        conf = jnp.sum(out[..., 1] * row_mask[:, None, :], axis=2) / nres_f[:, None]
+        mds = jax.vmap(mds_coords)(dm, nres)                         # (B, L, 8)
+        coordembed = jnp.concatenate([mat1d, mds], axis=2)
+        gru_out = gru.bigru_stack(
+            params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)), nres
+        )
+        ca = jnp.transpose(gru_out, (1, 0, 2)) @ params["coord_fc"]  # (B, L, 3)
+        return ca, conf
+
+    refine_b = jax.vmap(refine_coords, in_axes=(0, None, 0))
+
+    ca_coords, conf = run_iteration(x2[..., -1])
+    ca_coords = refine_b(ca_coords, refine_steps, nres)
+    best_conf, best_coords = conf, ca_coords
+    best_mean = jnp.sum(conf * row_mask, axis=1) / nres_f            # (B,)
+
+    def recycle_body(i, carry):
+        ca, best_mean, best_conf, best_coords = carry
+        diffs = ca[:, :, None, :] - ca[:, None, :, :]
+        dmap = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(diffs), axis=3), 1e-8))
+        dmap = dmap * pair_mask
+        ca_new, conf_new = run_iteration(dmap)
+        mean_new = jnp.sum(conf_new * row_mask, axis=1) / nres_f
+        better = mean_new > best_mean                                # (B,)
+        return (
+            ca_new,
+            jnp.where(better, mean_new, best_mean),
+            jnp.where(better[:, None], conf_new, best_conf),
+            jnp.where(better[:, None, None], ca_new, best_coords),
+        )
+
+    carry = (ca_coords, best_mean, best_conf, best_coords)
+    carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
+    _, _, best_conf, best_coords = carry
+
+    best_coords = refine_b(best_coords, refine_steps, nres)
+    coords_out = jax.vmap(calpha_to_main_chain)(best_coords, nres)
+    return coords_out, jax.nn.sigmoid(best_conf)

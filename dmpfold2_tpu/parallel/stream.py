@@ -39,18 +39,31 @@ from ..utils.obs import Counters, log_target
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv"))
+                                   "fused_conv", "batched_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                fused_conv=False):
+                fused_conv=False, batched_impl=False):
     """Batched fold: (B, N, L) -> ((B, L, 5, 3), (B, L))."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
-    def one(aln, ns, nr, dmap):
+    def features(aln, ns, nr, dmap):
         oh = msa_one_hot(aln, ns, nr)
         w = reweight(oh, nr)
         dca = dca_or_zero(oh, w, ns, nr, method=dca_method)
-        x2 = jnp.concatenate([dca, dmap[:, :, None]], axis=2)
+        return jnp.concatenate([dca, dmap[:, :, None]], axis=2)
+
+    if batched_impl:
+        # natively-batched model: one trunk conv per block for the whole
+        # batch (required by the Pallas fused conv; also batches the GRU
+        # matmuls over B*L columns)
+        x2 = jax.vmap(features)(alnmat, nseqs, nres, dmap_channel)
+        return gruresnet.forward_batched(
+            params, alnmat, x2, nseqs, nres, nloops, refine_steps,
+            compute_dtype=compute_dtype, fused_conv=fused_conv,
+        )
+
+    def one(aln, ns, nr, dmap):
+        x2 = features(aln, ns, nr, dmap)
         return gruresnet.forward(params, aln, x2, ns, nr, nloops, refine_steps,
                                  compute_dtype=compute_dtype, vgru_impl=vgru_impl,
                                  fused_conv=fused_conv)
@@ -88,11 +101,15 @@ class BatchFolder:
     def _vgru_impl(self) -> str:
         return self.vgru_impl
 
+    def _batched_impl(self) -> bool:
+        # the natively-batched forward runs one trunk conv for the whole
+        # batch; with a mesh we keep the vmapped path (spmd_axis_name gives
+        # GSPMD clean per-target DP partitioning)
+        return self.mesh is None
+
     def _fused_conv(self) -> bool:
-        # the batched forward is vmapped per target, and vmap cannot block
-        # the kernel's ANY-memory-space operand — the tall-stacked batched
-        # kernel needs a natively-batched forward to apply here (future work)
-        return False
+        return (self.precision == "bf16" and self._batched_impl()
+                and jax.default_backend() not in ("cpu",))
 
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
@@ -150,6 +167,7 @@ class BatchFolder:
                         dca_method=self.dca_method, precision=self.precision,
                         vgru_impl=self._vgru_impl(),
                         fused_conv=self._fused_conv(),
+                        batched_impl=self._batched_impl(),
                     )
                     coords = np.asarray(coords)
                     confs = np.asarray(confs)
