@@ -129,3 +129,21 @@ def test_mds_padding_invariant():
     padded = np.asarray(geometry.mds_coords(jnp.asarray(dm_pad), 20))
     np.testing.assert_allclose(padded[:20], base, atol=2e-4)
     assert np.abs(padded[20:]).max() < 1e-6
+
+
+def test_full_size_forward_matches_oracle():
+    """Full 512/128/16 model: converter + forward at production size."""
+    torch.manual_seed(42)
+    oracle_full = OracleGRUResNet(512, 128, 16).eval()
+    params_full = convert_state_dict(oracle_full.state_dict(), num_blocks=16)
+
+    rng = np.random.default_rng(10)
+    n, l = 8, 14
+    aln = rng.integers(0, 22, size=(n, l)).astype(np.int32)
+    x2 = rng.normal(size=(l, l, 443)).astype(np.float32) * 0.1
+    x2 = (x2 + x2.transpose(1, 0, 2)) / 2
+
+    ours_c, ours_conf = run_ours(params_full, aln, x2, 1, 5)
+    ref_c, ref_conf = run_oracle(oracle_full, aln, x2, 1, 5)
+    np.testing.assert_allclose(ours_conf, ref_conf, atol=5e-4)
+    np.testing.assert_allclose(ours_c, ref_c.reshape(l, 5, 3), atol=1e-2)

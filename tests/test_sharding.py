@@ -85,3 +85,28 @@ def test_dryrun_multichip_entry():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_seq_sharded_inference_matches_unsharded():
+    """Long-target plan: pair tensors sharded over 'seq' during inference."""
+    import numpy as np
+    from dmpfold2_tpu.engine.fold import Folder
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16,
+                                   num_blocks=2)
+    rng = np.random.default_rng(0)
+    alnmat = rng.integers(0, 21, (10, 40)).astype(np.uint8)
+
+    # iterations=0: recycling's best-by-confidence select can flip on
+    # near-tied random-weight confidences, amplifying 1e-6 shard noise into
+    # structurally different (equally valid) outputs; the single-pass path
+    # is deterministic
+    folder = Folder(params)
+    base_c, base_f = folder.fold(alnmat, iterations=0, minsteps=3)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh), pair_sharding("seq"):
+        shard_c, shard_f = folder.fold(alnmat, iterations=0, minsteps=3)
+
+    np.testing.assert_allclose(shard_f, base_f, atol=1e-4)
+    np.testing.assert_allclose(shard_c, base_c, atol=2e-3)
