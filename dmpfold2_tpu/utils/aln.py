@@ -46,13 +46,33 @@ def encode_rows(rows: list[str]) -> np.ndarray:
     return mat.reshape(len(rows), length)
 
 
-def parse_aln(path: str, max_seqs: int = MAX_SEQS) -> np.ndarray:
-    """Parse an aln file into an (nseqs, nres) uint8 matrix of residue classes.
+def a3m_to_rows(text: str) -> list[str]:
+    """a3m -> aln rows: drop '>' headers and lowercase insertion states.
 
-    Uses the native parser (native/dmpio.cpp via ctypes) when available;
-    the pure-Python fallback is byte-identical.
+    Replaces the shell conversion the reference documents
+    (README.md:30: ``egrep -v "^>" in.a3m | sed 's/[a-z]//g'``).
+    """
+    rows = []
+    for line in text.splitlines():
+        if line.startswith(">") or not line.strip():
+            continue
+        rows.append("".join(c for c in line.rstrip() if not c.islower()))
+    return rows
+
+
+def parse_aln(path: str, max_seqs: int = MAX_SEQS) -> np.ndarray:
+    """Parse an aln (or a3m) file into an (nseqs, nres) uint8 class matrix.
+
+    ``.a3m`` inputs are converted on the fly (headers + lowercase insertions
+    dropped). Uses the native parser (native/dmpio.cpp via ctypes) when
+    available; the pure-Python fallback is byte-identical.
     """
     from . import native
+
+    if path.endswith(".a3m"):
+        with open(path) as fh:
+            mat = encode_rows(a3m_to_rows(fh.read()))
+        return mat[:max_seqs]
 
     if native.available():
         with open(path, "rb") as fh:

@@ -73,3 +73,11 @@ def test_pdb_writer_matches_reference_formatting():
     seq = aln.encode_rows(["A"])[0]
     lines = list(pdb.format_pdb(coords, confs, seq))
     assert lines[1] == "ATOM      1  N   ALA     1      12.345  -0.001   8.000  1.00  0.50"
+
+
+def test_a3m_input(tmp_path):
+    p = tmp_path / "x.a3m"
+    p.write_text(">q\nARND\n>s1\nAbR-cD\n")  # lowercase b, c are insertions
+    mat = aln.parse_aln(str(p))
+    assert mat.shape == (2, 4)
+    assert list(mat[1]) == [0, 1, 21, 3]  # A R - D
