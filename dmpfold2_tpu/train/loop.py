@@ -38,7 +38,8 @@ def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
 def train(data_dir: str = ".", clusters: str = "train_clust.lst",
           workdir: str = ".", num_epochs: int = 1000, micro_batch: int = 1,
           accum_steps: int = BATCH_SIZE, restart: bool = True,
-          refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None):
+          refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None,
+          mesh=None):
     train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
     print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
 
@@ -53,6 +54,21 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
 
     optimizer = make_optimizer(lr, accum_steps=accum_steps)
     opt_state = optimizer.init(params)
+
+    shard_batch = lambda b: b
+    if mesh is not None:
+        # data-parallel training: weights replicated, micro-batch sharded
+        # over the mesh's 'data' axis (GSPMD inserts the gradient psum)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        def shard_batch(b):
+            dp = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+            return type(b)(*(dp(x) for x in b))
 
     val_err_min = train_err_min = float("inf")
     start_epoch = 0
@@ -76,6 +92,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
 
         train_err, train_samples = 0.0, 0
         for batch in _make_batches(train_data, indices, micro_batch):
+            batch = shard_batch(batch)
             rng, sub = jax.random.split(rng)
             nloops = py_rng.randint(0, MAX_ITERATIONS)
             params, opt_state, metrics = train_step(
@@ -94,6 +111,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         val_err, val_samples = 0.0, 0
         for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
                                    drop_last=False):
+            batch = shard_batch(batch)
             val_rng, sub = jax.random.split(val_rng)
             _, _, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,

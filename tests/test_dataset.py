@@ -140,3 +140,18 @@ def test_load_params_infers_architecture(tmp_path):
     loaded = load_params(path)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_with_mesh(data_dir, tmp_path):
+    """DP-sharded training loop over a 4-device mesh (tiny model)."""
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+    from dmpfold2_tpu.train.loop import train
+
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    train(
+        data_dir=data_dir, clusters="clusters.lst", workdir=str(tmp_path),
+        num_epochs=1, micro_batch=2, accum_steps=1, restart=False,
+        refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+        mesh=mesh,
+    )
+    assert (tmp_path / ckpt.CHECKPOINT).exists()
