@@ -102,11 +102,11 @@ class Folder:
     def _vgru_impl(self) -> str:
         if self.vgru_impl != "auto":
             return self.vgru_impl
-        return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def _fused_conv(self) -> bool:
         # Pallas fused conv+maxout: bf16 policy on TPU only
-        return self.precision == "bf16" and jax.default_backend() not in ("cpu",)
+        return self.precision == "bf16" and jax.default_backend() == "tpu"
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.

@@ -28,10 +28,10 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..engine.buckets import bucket_shape
 from ..engine.fold import _build_dmap_channel
+from .mesh import data_sharded, replicated
 from ..features.dca import dca_or_zero
 from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
@@ -109,7 +109,7 @@ class BatchFolder:
 
     def _fused_conv(self) -> bool:
         return (self.precision == "bf16" and self._batched_impl()
-                and jax.default_backend() not in ("cpu",))
+                and jax.default_backend() == "tpu")
 
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
@@ -122,7 +122,10 @@ class BatchFolder:
                   minsteps: int = 100):
         """Fold all targets; returns results in input order as
         [(coords (nres,5,3), confs (nres,))]."""
-        batch = self.batch_size or max(self._n_data(), 1)
+        n_data = max(self._n_data(), 1)
+        batch = self.batch_size or n_data
+        # the batch dim shards over 'data': keep it a multiple of the axis
+        batch = -(-batch // n_data) * n_data
 
         # group indices by bucket shape
         groups: dict[tuple[int, int], list[int]] = {}
@@ -130,11 +133,16 @@ class BatchFolder:
             n_pad, l_pad = bucket_shape(*t.alnmat.shape)
             groups.setdefault((n_pad, l_pad), []).append(i)
 
+        if self.mesh is not None:
+            # replicate weights once per run, not per batch
+            self.params = jax.device_put(self.params, replicated(self.mesh))
+
         results: list = [None] * len(targets)
         for (n_pad, l_pad), idxs in groups.items():
             for start in range(0, len(idxs), batch):
                 chunk = idxs[start : start + batch]
-                pad_to = batch if len(chunk) < batch else len(chunk)
+                # pad partial batches (and keep divisibility by the data axis)
+                pad_to = max(batch, -(-len(chunk) // n_data) * n_data)
                 take = list(chunk) + [chunk[-1]] * (pad_to - len(chunk))
 
                 aln_b = np.zeros((pad_to, n_pad, l_pad), np.int32)
@@ -151,13 +159,11 @@ class BatchFolder:
                 args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
                         jnp.asarray(nres_b), jnp.asarray(dmap_b))
                 if self.mesh is not None:
-                    dp = lambda x: jax.device_put(
-                        x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
-                    args = tuple(dp(x) for x in args)
-                    repl = NamedSharding(self.mesh, P())
-                    params = jax.device_put(self.params, repl)
-                else:
-                    params = self.params
+                    args = tuple(
+                        jax.device_put(x, data_sharded(self.mesh, x.ndim))
+                        for x in args
+                    )
+                params = self.params
 
                 t_start = time.perf_counter()
                 try:

@@ -46,7 +46,7 @@ class FoldService:
             coords, confs = self.folder.fold(
                 alnmat, iterations=iterations, minsteps=minsteps
             )
-        self.counters.record(alnmat.shape[1])
+            self.counters.record(alnmat.shape[1])
         return "\n".join(pdb_io.format_pdb(coords, confs, alnmat[0])) + "\n"
 
 

@@ -52,23 +52,11 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             print(f"warm restart: {n} tensors restored from {best_train}")
             lr = 1e-4  # reference train.py:263
 
-    optimizer = make_optimizer(lr, accum_steps=accum_steps)
+    # accum_steps counts SAMPLES (the reference's 32-sample Adam step,
+    # train.py:21): convert to micro-batch steps
+    micro_steps = max(1, accum_steps // micro_batch)
+    optimizer = make_optimizer(lr, accum_steps=micro_steps)
     opt_state = optimizer.init(params)
-
-    shard_batch = lambda b: b
-    if mesh is not None:
-        # data-parallel training: weights replicated, micro-batch sharded
-        # over the mesh's 'data' axis (GSPMD inserts the gradient psum)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        params = jax.device_put(params, repl)
-        opt_state = jax.device_put(opt_state, repl)
-
-        def shard_batch(b):
-            dp = lambda x: jax.device_put(
-                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
-            return type(b)(*(dp(x) for x in b))
 
     val_err_min = train_err_min = float("inf")
     start_epoch = 0
@@ -79,6 +67,28 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         val_err_min = state["val_err_min"]
         train_err_min = state["train_err_min"]
         print(f"checkpoint loaded, resuming at epoch {start_epoch}")
+
+    shard_batch = lambda b: b
+    if mesh is not None:
+        # data-parallel training: weights replicated, micro-batch sharded
+        # over the mesh's 'data' axis (GSPMD inserts the gradient psum).
+        # Placement happens after any checkpoint resume so restored state
+        # lands on the mesh too.
+        from ..parallel.mesh import data_sharded, replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        n_data = mesh.shape.get("data", 1)
+
+        def shard_batch(b):
+            size = b.alnmat.shape[0]
+            if size % n_data:
+                # pad to a data-axis multiple by repeating the tail sample
+                pad = n_data - size % n_data
+                b = type(b)(*(jnp.concatenate([x, x[-1:].repeat(pad, axis=0)])
+                              for x in b))
+            return type(b)(*(jax.device_put(x, data_sharded(mesh, x.ndim))
+                             for x in b))
 
     train_data = DMPDataset(train_list, data_dir, augment=True)
     val_data = DMPDataset(validation_list, data_dir, augment=False)

@@ -155,3 +155,17 @@ def test_train_loop_with_mesh(data_dir, tmp_path):
         mesh=mesh,
     )
     assert (tmp_path / ckpt.CHECKPOINT).exists()
+
+
+def test_train_loop_mesh_pads_odd_batches(data_dir, tmp_path):
+    """micro_batch=1 on a 2-device data axis pads every batch (no crash)."""
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+    from dmpfold2_tpu.train.loop import train
+
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    train(
+        data_dir=data_dir, clusters="clusters.lst", workdir=str(tmp_path),
+        num_epochs=1, micro_batch=1, accum_steps=2, restart=False,
+        refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+        mesh=mesh,
+    )

@@ -87,3 +87,13 @@ def test_counters_merge():
     merged = Counters.merge([a, b])
     assert merged.targets == 3
     assert merged.residues == 60
+
+
+def test_batch_non_divisible_by_mesh(params, targets):
+    """Batches not divisible by the data axis must pad, not crash."""
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    folder = BatchFolder(params, mesh=mesh, batch_size=3)  # 3 % 4 != 0
+    results = folder.fold_many(targets, iterations=0, minsteps=0)
+    assert all(r is not None for r in results)
