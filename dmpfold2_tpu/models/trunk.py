@@ -149,7 +149,11 @@ def scse(params, x, mask=None):
     y = jax.nn.relu(pooled @ params["cse_w1"]) @ params["cse_w2"]
     cse_out = x * jax.nn.sigmoid(y).astype(x.dtype)[:, None, None, :]
 
-    s = jax.nn.sigmoid(conv2d(x, params["sse_w"], params["sse_b"])).astype(x.dtype)
+    # keep the 1x1 conv's compute dtype equal to x's so its VJP is
+    # dtype-consistent under reverse-mode AD (bf16 training policy)
+    sse_dtype = x.dtype if x.dtype == jnp.bfloat16 else None
+    s = jax.nn.sigmoid(conv2d(x, params["sse_w"], params["sse_b"],
+                              compute_dtype=sse_dtype)).astype(x.dtype)
     sse_out = x * s
     return cse_out + sse_out
 

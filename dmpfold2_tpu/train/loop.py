@@ -39,7 +39,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
           workdir: str = ".", num_epochs: int = 1000, micro_batch: int = 1,
           accum_steps: int = BATCH_SIZE, restart: bool = True,
           refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None,
-          mesh=None):
+          mesh=None, precision: str = "fp32"):
     train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
     print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
 
@@ -107,7 +107,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             nloops = py_rng.randint(0, MAX_ITERATIONS)
             params, opt_state, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
-                nloops=nloops, refine_steps=refine_steps,
+                nloops=nloops, refine_steps=refine_steps, precision=precision,
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):
@@ -126,6 +126,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             _, _, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
                 nloops=2, refine_steps=refine_steps, train=False,
+                precision=precision,
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):
@@ -160,10 +161,11 @@ def main(argv=None):
     ap.add_argument("--accum-steps", type=int, default=BATCH_SIZE)
     ap.add_argument("--refine-steps", type=int, default=100)
     ap.add_argument("--no-restart", action="store_true")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     args = ap.parse_args(argv)
     train(args.data_dir, args.clusters, args.workdir, args.epochs,
           args.micro_batch, args.accum_steps, restart=not args.no_restart,
-          refine_steps=args.refine_steps)
+          refine_steps=args.refine_steps, precision=args.precision)
 
 
 if __name__ == "__main__":

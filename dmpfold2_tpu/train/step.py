@@ -50,7 +50,7 @@ class TrainBatch(NamedTuple):
 def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
                 nloops: int, refine_steps: int = REFINE_STEPS,
                 teacher_prob: float = 0.5, noise_targets: bool = True,
-                dropout: bool = True):
+                dropout: bool = True, precision: str = "fp32"):
     """Loss for one (padded) sample, differentiable through recycling+refinement."""
     l_pad = alnmat.shape[1]
     row_mask = jnp.arange(l_pad) < nres
@@ -86,9 +86,10 @@ def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
             "init": jax.random.fold_in(rng_drop, 1),
             "recycle": jax.random.fold_in(rng_drop, 2),
         }
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     coords, confs = gruresnet.forward(
         params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-        rngs=rngs, remat=True,
+        rngs=rngs, remat=True, compute_dtype=compute_dtype,
     )
     return fold_loss(coords, confs, targets, nres)
 
@@ -102,9 +103,11 @@ def make_optimizer(learning_rate: float = 1e-4, accum_steps: int = 1):
     return opt
 
 
-@partial(jax.jit, static_argnames=("optimizer", "nloops", "refine_steps", "train"))
+@partial(jax.jit, static_argnames=("optimizer", "nloops", "refine_steps", "train",
+                                   "precision"))
 def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
-               nloops: int, refine_steps: int = REFINE_STEPS, train: bool = True):
+               nloops: int, refine_steps: int = REFINE_STEPS, train: bool = True,
+               precision: str = "fp32"):
     """One DP step over a padded micro-batch. Returns (params, opt_state, metrics)."""
     batch_size = batch.alnmat.shape[0]
     rngs = jax.random.split(rng, batch_size)
@@ -113,7 +116,7 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
         losses, metrics = jax.vmap(
             lambda a, t, ns, nr, r: sample_loss(
                 p, a, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
-                dropout=train,
+                dropout=train, precision=precision,
             ),
             spmd_axis_name="data",
         )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)

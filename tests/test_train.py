@@ -127,3 +127,19 @@ def test_train_step_updates_params(tiny_setup):
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
     )
+
+
+def test_train_step_bf16_policy(tiny_setup):
+    """bf16 trunk policy during training: finite loss, params update."""
+    params, batch = tiny_setup
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    new_params, _, metrics = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(5),
+        optimizer=opt, nloops=1, refine_steps=2, precision="bf16",
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
+    )
