@@ -72,16 +72,16 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, win_ref, sem, *, t_rows: int, l_cols: in
     o_ref[:] = out.reshape(t_rows, l_cols, group).astype(o_ref.dtype)
 
 
-def _pick_band(l_cols: int) -> int:
-    # keep the fp32 accumulator (T*L*c_out*4B) around ~6-8 MB
+def _pick_band(l_cols: int, c_out: int) -> int:
+    # keep the fp32 accumulator (T*L*c_out*4B) within ~4 MB of VMEM
     for t in (16, 8, 4, 2, 1):
-        if l_cols * t * 512 * 4 <= 4 * 2 ** 20:
+        if l_cols * t * c_out * 4 <= 4 * 2 ** 20:
             return t
     return 1
 
 
-def _divisor_band(tall: int, l_cols: int) -> int:
-    budget = _pick_band(l_cols)
+def _divisor_band(tall: int, l_cols: int, c_out: int) -> int:
+    budget = _pick_band(l_cols, c_out)
     for t in range(budget, 0, -1):
         if tall % t == 0:
             return t
@@ -118,14 +118,14 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False):
     # 2*PAD extra zero rows so the last band's window stays in bounds
     x_tall = jnp.pad(x_tall, ((0, 2 * PAD), (0, 0), (0, 0)))
 
-    t_rows = _divisor_band(tall, l_cols)
+    t_rows = _divisor_band(tall, l_cols, c_out)
 
     out = pl.pallas_call(
         partial(_kernel, t_rows=t_rows, l_cols=l_cols, c_in=c_in,
                 c_out=c_out, pool=pool),
         grid=(tall // t_rows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded tall input, HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # padded tall input, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],

@@ -20,7 +20,8 @@ dispatches ~6 small ops per row; this kernel fuses the whole scan:
     state is exactly the state at the true end of the alignment (identical
     semantics to models.gru.unigru_stack_final).
 
-Falls back to interpret mode off-TPU (tests run it on CPU).
+Off-TPU callers must pass ``interpret=True`` (tests do); production impl
+selection (pallas on TPU, lax.scan elsewhere) lives in engine/fold.py.
 """
 
 from __future__ import annotations

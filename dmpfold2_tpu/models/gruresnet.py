@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from . import gru
 from ..parallel.sharding import shard_pair
 from .geometry import calpha_to_main_chain, mds_coords, refine_coords
-from .trunk import TRUNK_IN_CHANNELS, trunk_apply, trunk_params
+from .trunk import NUM_DCA_CHANNELS, trunk_apply, trunk_params
 
 NUM_AA_CLASSES = 22  # 20 aa + ambiguous + gap (network embedding keeps all 22)
 WIDTH = 512
@@ -40,7 +40,7 @@ def init_params(key, width: int = WIDTH, cwidth: int = CWIDTH, num_blocks: int =
     return {
         "vgru": gru.unigru_stack_params(k1, 2, NUM_AA_CLASSES, width),
         "hgru": gru.bigru_stack_params(k2, 2, width, width // 2),
-        "trunk": trunk_params(k3, 442 + width + 1, cwidth, num_blocks),
+        "trunk": trunk_params(k3, NUM_DCA_CHANNELS + width + 1, cwidth, num_blocks),
         "coord_gru": gru.bigru_stack_params(k4, 3, width + 8, width // 2),
         "coord_fc": jax.random.uniform(
             k5, (width, 3), jnp.float32,

@@ -141,8 +141,10 @@ class BatchFolder:
         for (n_pad, l_pad), idxs in groups.items():
             for start in range(0, len(idxs), batch):
                 chunk = idxs[start : start + batch]
-                # pad partial batches (and keep divisibility by the data axis)
-                pad_to = max(batch, -(-len(chunk) // n_data) * n_data)
+                # partial chunks pad to the full batch size (shape-stable:
+                # one compiled program per bucket; batch is already a
+                # data-axis multiple)
+                pad_to = batch
                 take = list(chunk) + [chunk[-1]] * (pad_to - len(chunk))
 
                 aln_b = np.zeros((pad_to, n_pad, l_pad), np.int32)
@@ -201,9 +203,14 @@ class BatchFolder:
                     results[ti] = (coords[bi, :nr], confs[bi, :nr])
                     self.counters.record(nr)
                     if self.verbose:
+                        # per-target time = batch wall-clock / device batch
+                        # size; the first batch of a bucket includes XLA
+                        # compilation (batch_seconds lets readers filter)
                         log_target(
                             f"target[{ti}]", int(nseqs_b[bi]), nr,
-                            (n_pad, l_pad), elapsed / len(chunk),
+                            (n_pad, l_pad), elapsed / pad_to,
                             float(confs[bi, :nr].mean()),
+                            batch_seconds=round(elapsed, 4),
+                            batch_size=pad_to,
                         )
         return results
