@@ -97,7 +97,10 @@ class Folder:
             dca_method=self.dca_method, precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
         )
-        return np.asarray(coords[:nres]), np.asarray(confs[:nres])
+        # one host fetch for both outputs (each np.asarray is a separate
+        # round trip on remote-device transports)
+        coords, confs = jax.device_get((coords[:nres], confs[:nres]))
+        return np.asarray(coords), np.asarray(confs)
 
     def _vgru_impl(self) -> str:
         if self.vgru_impl != "auto":

@@ -177,8 +177,7 @@ class BatchFolder:
                         fused_conv=self._fused_conv(),
                         batched_impl=self._batched_impl(),
                     )
-                    coords = np.asarray(coords)
-                    confs = np.asarray(confs)
+                    coords, confs = jax.device_get((coords, confs))
                 except Exception as exc:  # failure tolerance: requeue singly
                     # a whole batch failed (e.g. OOM at this bucket) — retry
                     # each target alone so one bad target can't sink its
