@@ -176,6 +176,9 @@ def aln_to_coords(input_file: str, device=None, template: str | None = None,
     places computation on the available accelerator. ``params`` short-circuits
     weight loading (useful for batch callers holding a Folder).
     """
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     alnmat = aln_io.parse_aln(input_file)
     template_ca = pdb_io.parse_template_ca(template) if template is not None else None
     if params is None:

@@ -109,6 +109,9 @@ def main(argv=None):
     ap.add_argument("--weights", default=None)
     ap.add_argument("--precision", default="bf16")
     args = ap.parse_args(argv)
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     params = load_weights(args.weights)
     server = serve(params, args.host, args.port, args.precision)
     print(f"serving on {args.host}:{args.port}")

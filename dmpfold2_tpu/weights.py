@@ -113,7 +113,11 @@ def load_params(path: str):
     width = int(data["['coord_fc']"].shape[0])
     blocks_gamma = data["['trunk']['blocks']['maxout']['gamma']"]
     num_blocks, cwidth = int(blocks_gamma.shape[0]), int(blocks_gamma.shape[1])
-    skeleton = init_params(jax.random.PRNGKey(0), width, cwidth, num_blocks)
+    # only the pytree STRUCTURE is needed: eval_shape avoids running the
+    # (device-side) random initialization just to build a skeleton
+    skeleton = jax.eval_shape(
+        lambda k: init_params(k, width, cwidth, num_blocks), jax.random.PRNGKey(0)
+    )
     flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
     leaves = [jnp.asarray(data[jax.tree_util.keystr(kp)]) for kp, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
