@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Verify fidelity against the released DMPfold2 checkpoint (needs internet).
+
+The acceptance bar (BASELINE.md) is matching `fold.pdb` for the bundled
+PF10963 example at default settings with the *released* weights. Those
+weights are not available offline, so this script operationalizes the check
+for an environment that can download them:
+
+  1. fetch the two-part torch checkpoint (same URLs the reference uses),
+  2. run the REFERENCE pipeline (torch, imported from --reference-path) on
+     PF10963 with those weights,
+  3. run THIS framework with the converted weights (fp32_strict precision),
+  4. compare coordinates/confidences and report per-atom deltas.
+
+Usage:
+  python scripts/verify_released_weights.py \
+      [--reference-path /root/reference] [--tolerance 0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference-path", default="/root/reference")
+    ap.add_argument("--aln", default=None, help="default: bundled PF10963.aln")
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--minsteps", type=int, default=100)
+    ap.add_argument("--tolerance", type=float, default=0.01,
+                    help="max per-coordinate |delta| in Angstrom")
+    args = ap.parse_args()
+
+    aln_path = args.aln or os.path.join(
+        args.reference_path, "dmpfold", "example", "PF10963.aln")
+
+    from dmpfold2_tpu.engine.fold import Folder, load_weights
+    from dmpfold2_tpu.utils.aln import parse_aln
+
+    # 1+3: download (if needed), convert, fold with this framework
+    params = load_weights()  # fetches the released 2-part checkpoint
+    alnmat = parse_aln(aln_path)
+    ours_c, ours_f = Folder(params, precision="fp32_strict").fold(
+        alnmat, iterations=args.iterations, minsteps=args.minsteps)
+
+    # 2: the reference's own pipeline with the same weights
+    sys.path.insert(0, args.reference_path)
+    import torch
+
+    def _symeig(m, eigenvectors=True, upper=True):  # torch>=2 removed symeig
+        return torch.linalg.eigh(m, UPLO="U" if upper else "L")
+
+    torch.symeig = _symeig
+    from dmpfold.predict import aln_to_coords as ref_aln_to_coords
+
+    ref_c, ref_f = ref_aln_to_coords(
+        aln_path, iterations=args.iterations, minsteps=args.minsteps)
+    ref_c, ref_f = ref_c.numpy(), ref_f.numpy()
+
+    dc = np.abs(ours_c - ref_c)
+    df = np.abs(ours_f - ref_f)
+    print(f"coords: max|delta| {dc.max():.5f} A   mean {dc.mean():.5f} A")
+    print(f"confs:  max|delta| {df.max():.5f}     mean {df.mean():.5f}")
+    if dc.max() <= args.tolerance:
+        print(f"PASS (tolerance {args.tolerance} A)")
+        return 0
+    print(f"FAIL (tolerance {args.tolerance} A) — likely eigh sign "
+          "convention divergence; see ARCHITECTURE.md deviations #1")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
