@@ -37,8 +37,8 @@ class FoldService:
         self._lock = threading.Lock()  # one fold at a time per chip
 
     def fold_aln_text(self, text: str, iterations: int, minsteps: int) -> str:
-        rows = [l.rstrip() for l in text.splitlines()
-                if l.strip() and not l.startswith(">")]
+        # accepts aln or a3m bodies (lowercase insertion states stripped)
+        rows = aln_io.a3m_to_rows(text)
         alnmat = aln_io.encode_rows(rows)
         if alnmat.shape[0] > aln_io.MAX_SEQS:
             alnmat = alnmat[: aln_io.MAX_SEQS]
@@ -66,6 +66,12 @@ def make_handler(service: FoldService):
         def do_GET(self):
             path = urlparse(self.path).path
             if path == "/healthz":
+                # exercise the model (compiled after the first call)
+                try:
+                    service.fold_aln_text("ARNDARNDARNDARND\n", 0, 0)
+                except Exception as exc:
+                    self._send(500, f"unhealthy: {exc}\n")
+                    return
                 self._send(200, "ok\n")
             elif path == "/stats":
                 self._send(200, json.dumps(service.counters.summary()) + "\n",
@@ -79,14 +85,21 @@ def make_handler(service: FoldService):
                 self._send(404, "not found\n")
                 return
             query = parse_qs(parsed.query)
-            iterations = int(query.get("iterations", [DEFAULT_ITERATIONS])[0])
-            minsteps = int(query.get("minsteps", [DEFAULT_MINSTEPS])[0])
-            length = int(self.headers.get("Content-Length", 0))
-            text = self.rfile.read(length).decode()
+            try:
+                iterations = int(query.get("iterations", [DEFAULT_ITERATIONS])[0])
+                minsteps = int(query.get("minsteps", [DEFAULT_MINSTEPS])[0])
+                length = int(self.headers.get("Content-Length", 0))
+                text = self.rfile.read(length).decode()
+            except (ValueError, UnicodeDecodeError) as exc:
+                self._send(400, f"bad request: {exc}\n")
+                return
             try:
                 pdb_text = service.fold_aln_text(text, iterations, minsteps)
-            except Exception as exc:
-                self._send(400, f"error: {exc}\n")
+            except ValueError as exc:  # malformed alignment -> client error
+                self._send(400, f"bad alignment: {exc}\n")
+                return
+            except Exception as exc:   # device/compile faults -> server error
+                self._send(500, f"internal error: {exc}\n")
                 return
             self._send(200, pdb_text, "chemical/x-pdb")
 
@@ -97,6 +110,7 @@ def serve(params, host: str = "0.0.0.0", port: int = 8080,
           precision: str = "bf16") -> ThreadingHTTPServer:
     service = FoldService(params, precision)
     server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.fold_service = service  # exposed for warmup / introspection
     return server
 
 
@@ -114,6 +128,10 @@ def main(argv=None):
     enable_persistent_cache()
     params = load_weights(args.weights)
     server = serve(params, args.host, args.port, args.precision)
+    # precompile common shape buckets before accepting traffic so the first
+    # real requests don't block on minutes of XLA compilation
+    print("warming up (precompiling common shape buckets)...")
+    server.fold_service.folder.warmup(shapes=((256, 96), (256, 128)))
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

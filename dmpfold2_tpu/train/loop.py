@@ -54,6 +54,11 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
 
     # accum_steps counts SAMPLES (the reference's 32-sample Adam step,
     # train.py:21): convert to micro-batch steps
+    if mesh is not None:
+        # keep training micro-batches an exact data-axis multiple so no
+        # padding (and no duplicated-sample gradient weighting) is needed
+        n_data_axis = mesh.shape.get("data", 1)
+        micro_batch = -(-micro_batch // n_data_axis) * n_data_axis
     micro_steps = max(1, accum_steps // micro_batch)
     optimizer = make_optimizer(lr, accum_steps=micro_steps)
     opt_state = optimizer.init(params)
@@ -114,11 +119,10 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
                 train_err += loss * batch.alnmat.shape[0]
                 train_samples += batch.alnmat.shape[0]
 
-        # fixed-seed validation with nloops=2 (train.py:383-389); the jax
-        # key is fixed too so teacher-forcing draws repeat across epochs
-        val_data.rng = random.Random(1)
+        # fixed-key validation with nloops=2 (train.py:383-389): the fixed
+        # PRNGKey makes teacher-forcing draws repeat across epochs
         val_rng = jax.random.PRNGKey(1)
-        val_err, val_samples = 0.0, 0
+        val_err, val_samples, val_bad = 0.0, 0, 0
         for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
                                    drop_last=False):
             batch = shard_batch(batch)
@@ -132,13 +136,19 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             if np.isfinite(loss):
                 val_err += loss * batch.alnmat.shape[0]
                 val_samples += batch.alnmat.shape[0]
+            else:
+                val_bad += 1
 
         print(f"Epoch {epoch + 1} took {time.time() - t0:.1f}s  "
               f"train {train_err / max(train_samples, 1):.6f}  "
               f"val {val_err / max(val_samples, 1):.6f}")
         sys.stdout.flush()
 
-        if val_err < val_err_min:
+        # guard best-model selection against NaN epochs: an epoch with
+        # non-finite validation batches must not look "better" by summing
+        # fewer terms (deviation from the reference, which has the same
+        # skip-and-sum bias)
+        if val_bad == 0 and val_samples > 0 and val_err < val_err_min:
             val_err_min = val_err
             ckpt.save_params(os.path.join(workdir, ckpt.BEST_VAL), params)
             print("Saving best-validation model...")

@@ -127,6 +127,14 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
         return params, opt_state, metrics
 
     (_, metrics), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
+    # non-finite guard: the reference skips samples whose SVD fails and its
+    # GradScaler skips inf/nan steps (train.py:213-217, 373-374); here a bad
+    # micro-batch contributes zero gradient instead of poisoning Adam state
+    grads_ok = jnp.all(jnp.asarray(
+        [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+    ))
+    grads = jax.tree.map(lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads)
+    metrics["skipped"] = 1.0 - jnp.asarray(grads_ok, jnp.float32)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics

@@ -50,3 +50,22 @@ def test_fold_bad_input(server_url):
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as err:
         assert err.code == 400
+
+
+def test_fold_bad_params_is_400(server_url):
+    req = urllib.request.Request(
+        f"{server_url}/fold?iterations=ten", data=b"ARND\n", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+
+
+def test_fold_a3m_body(server_url):
+    aln_text = ">q\nARNDARND\n>s\nAbRNDARcND\n"  # a3m insertions stripped
+    req = urllib.request.Request(
+        f"{server_url}/fold?iterations=0&minsteps=0",
+        data=aln_text.encode(), method="POST")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200

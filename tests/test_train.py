@@ -143,3 +143,24 @@ def test_train_step_bf16_policy(tiny_setup):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
     )
+
+
+def test_train_step_skips_nonfinite_grads(tiny_setup):
+    """A NaN-producing micro-batch must not poison params (GradScaler analog)."""
+    params, batch = tiny_setup
+    # degenerate targets (all zeros) push the Kabsch SVD toward NaN grads;
+    # force the issue by injecting NaN into the targets directly
+    bad = TrainBatch(
+        batch.alnmat,
+        jnp.full_like(batch.targets, jnp.nan),
+        batch.nseqs, batch.nres,
+    )
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    new_params, _, metrics = train_step(
+        params, opt_state, bad, jax.random.PRNGKey(9),
+        optimizer=opt, nloops=0, refine_steps=1,
+    )
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)):
+        assert np.isfinite(np.asarray(b)).all()
