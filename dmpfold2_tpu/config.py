@@ -7,7 +7,7 @@ and maps 1:1 onto the reference CLI flags, with TPU-specific knobs added.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

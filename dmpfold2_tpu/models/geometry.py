@@ -8,7 +8,7 @@ or static ints (`lax.scan`) when reverse-mode gradients are needed.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
