@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+from .config import FoldConfig
 from .engine.fold import DEFAULT_ITERATIONS, DEFAULT_MINSTEPS, aln_to_coords
 from .utils.pdb import format_pdb
 
@@ -34,15 +35,22 @@ def build_parser() -> argparse.ArgumentParser:
                         required=False, help="number of minimization steps")
     parser.add_argument("-w", "--model_weights", type=str, required=False,
                         help="custom model weights (.pt state dict or native .npz)")
+    # TPU-native additions beyond the reference's 6 flags
+    parser.add_argument("--precision", type=str, default=None,
+                        choices=["fp32", "bf16", "fp32_strict"],
+                        help="compute policy (default fp32; bf16 runs the "
+                             "trunk on the MXU in bfloat16)")
+    parser.add_argument("--dca-method", dest="dca_method", type=str, default=None,
+                        choices=["cholesky", "lu", "blocked"],
+                        help="DCA covariance inverse algorithm")
     return parser
 
 
 def run_dmpfold(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    config = FoldConfig.from_cli_args(args)
     coords, confs, alnmat = aln_to_coords(
-        args.input_file, device=args.device, template=args.template,
-        iterations=args.iterations, minsteps=args.minsteps,
-        weights_file=args.model_weights, return_alnmat=True,
+        args.input_file, device=args.device, return_alnmat=True, config=config,
     )
     for line in format_pdb(coords, confs, alnmat[0]):
         print(line)

@@ -28,13 +28,18 @@ class FoldConfig:
 
     @classmethod
     def from_cli_args(cls, args) -> "FoldConfig":
-        return cls(
+        cfg = cls(
             iterations=args.iterations,
             minsteps=args.minsteps,
             device=args.device,
             template=args.template,
             weights_file=args.model_weights,
         )
+        # TPU-native knobs are optional CLI additions (reference has 6 flags)
+        for name in ("precision", "dca_method", "vgru_impl", "batch_size"):
+            if getattr(args, name, None) is not None:
+                setattr(cfg, name, getattr(args, name))
+        return cfg
 
 
 @dataclass

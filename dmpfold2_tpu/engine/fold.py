@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import FoldConfig
 from ..features.dca import dca_or_zero
 from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
@@ -25,8 +26,9 @@ from ..utils import aln as aln_io
 from ..utils import pdb as pdb_io
 from .buckets import bucket_shape
 
-DEFAULT_ITERATIONS = 10
-DEFAULT_MINSTEPS = 100
+# single source of defaults: config.FoldConfig (reference predict.py:26-28)
+DEFAULT_ITERATIONS = FoldConfig.iterations
+DEFAULT_MINSTEPS = FoldConfig.minsteps
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
@@ -41,9 +43,12 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
         dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
         x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
         compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+        # fp32_strict is the like-for-like fidelity mode vs a reference run:
+        # keep raw LAPACK eigenvector signs (reference network.py:247)
         return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
                                  refine_steps, compute_dtype=compute_dtype,
-                                 vgru_impl=vgru_impl, fused_conv=fused_conv)
+                                 vgru_impl=vgru_impl, fused_conv=fused_conv,
+                                 canonical_signs=(precision != "fp32_strict"))
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -82,6 +87,12 @@ class Folder:
     dca_method: str = "cholesky"
     precision: str = "fp32"   # "bf16" | "fp32" | "fp32_strict" (bit-fidelity)
     vgru_impl: str = "auto"   # "pallas" on TPU, "scan" elsewhere
+
+    @classmethod
+    def from_config(cls, params, cfg: FoldConfig) -> "Folder":
+        return cls(params, use_buckets=cfg.use_buckets,
+                   dca_method=cfg.dca_method, precision=cfg.precision,
+                   vgru_impl=cfg.vgru_impl)
 
     def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,
              iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
@@ -167,23 +178,34 @@ def load_weights(weights_file: str | None = None):
 
 
 def aln_to_coords(input_file: str, device=None, template: str | None = None,
-                  iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS,
+                  iterations: int | None = None, minsteps: int | None = None,
                   weights_file: str | None = None, return_alnmat: bool = False,
-                  params=None):
+                  params=None, config: FoldConfig | None = None):
     """Public API matching the reference (predict.py:74): aln file -> structure.
 
     ``device`` is accepted for signature compatibility and ignored — JAX
     places computation on the available accelerator. ``params`` short-circuits
-    weight loading (useful for batch callers holding a Folder).
+    weight loading (useful for batch callers holding a Folder). ``config``
+    carries the TPU-native knobs (precision, dca_method, ...); explicit
+    kwargs override its reference-compatible fields.
     """
     from ..utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    cfg = config or FoldConfig()
+    if iterations is None:
+        iterations = cfg.iterations
+    if minsteps is None:
+        minsteps = cfg.minsteps
+    if template is None:
+        template = cfg.template
+    if weights_file is None:
+        weights_file = cfg.weights_file
     alnmat = aln_io.parse_aln(input_file)
     template_ca = pdb_io.parse_template_ca(template) if template is not None else None
     if params is None:
         params = load_weights(weights_file)
-    folder = Folder(params)
+    folder = Folder.from_config(params, cfg)
     coords, confs = folder.fold(alnmat, template_ca, iterations, minsteps)
     if return_alnmat:
         return coords, confs, alnmat

@@ -21,12 +21,17 @@ STEP_SIZE = 0.001
 
 
 def _normalize(v, eps: float = 1e-12):
-    # F.normalize semantics: v / max(||v||, eps)
-    n = jnp.sqrt(jnp.sum(jnp.square(v), axis=-1, keepdims=True))
-    return v / jnp.maximum(n, eps)
+    # F.normalize semantics: v / max(||v||, eps). Clamping INSIDE the sqrt
+    # (forward-identical: sqrt(max(s, eps²)) == max(sqrt(s), eps)) keeps the
+    # backward pass finite at v == 0, where sqrt's gradient is infinite —
+    # padded residues can have exactly-coincident CAs, whose zero cross
+    # products otherwise turn the whole sample's gradient NaN (0·inf).
+    n = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(v), axis=-1, keepdims=True),
+                             eps * eps))
+    return v / n
 
 
-def mds_coords(dm, nres=None, n_dims: int = 8):
+def mds_coords(dm, nres=None, n_dims: int = 8, canonical_signs: bool = True):
     """Distance-map channel -> top-``n_dims`` MDS embedding (L, n_dims).
 
     Mirrors reference network.py:241-250: symmetrize, abs, Gram matrix from
@@ -34,6 +39,14 @@ def mds_coords(dm, nres=None, n_dims: int = 8):
     eigenpairs. Padded rows/cols are zeroed before ``eigh`` so the valid
     block's spectrum is preserved exactly (padding adds exact-zero
     eigenvalues whose eigenvectors vanish on the valid region).
+
+    ``canonical_signs`` fixes the per-column sign ambiguity of ``eigh``
+    deterministically (largest-|component| positive) for reproducibility.
+    The reference inherits raw LAPACK ``syev`` signs (network.py:247), so
+    bit-fidelity checks against a reference run must pass False here to
+    compare like-for-like (the engine's ``fp32_strict`` mode does).
+    Robustness of the released weights to sign flips is measured in
+    tests/test_eigh_signs.py and documented in ARCHITECTURE.md.
     """
     l_pad = dm.shape[-1]
     dm = 0.5 * (dm + dm.T)
@@ -42,14 +55,27 @@ def mds_coords(dm, nres=None, n_dims: int = 8):
     if nres is not None:
         col = jnp.arange(l_pad) < nres
         gram = gram * (col[:, None] & col[None, :])
+        # distinct, very negative diagonal entries on the padded coordinates:
+        # the matrix stays block-diagonal (valid spectrum preserved exactly)
+        # while padding eigenpairs sink to the bottom of the sorted spectrum,
+        # so (a) the top-8 selection matches the unpadded computation and
+        # (b) no exact-zero DEGENERATE eigenvalues remain — the eigh VJP
+        # divides by eigenvalue gaps, so degenerate padding zeros made every
+        # padded training sample's gradient NaN (then skipped by the
+        # non-finite guard: silent no-progress on padded buckets).
+        pad_diag = jnp.where(col, 0.0, -(1e6 + jnp.arange(l_pad, dtype=dm.dtype)))
+        gram = gram + jnp.diag(pad_diag)
     w, v = jnp.linalg.eigh(gram)
     w8 = jnp.maximum(w[-n_dims:], 1e-8)  # == clamp(relu(w), min=1e-8)
     v8 = v[:, -n_dims:]
-    # eigh signs are implementation-arbitrary (the reference inherits LAPACK's);
-    # canonicalize deterministically: largest-|component| of each vector > 0.
-    comp = jnp.take_along_axis(v8, jnp.argmax(jnp.abs(v8), axis=0)[None, :], axis=0)[0]
-    sign = jnp.where(comp < 0, -1.0, 1.0)
-    return v8 * sign * jnp.sqrt(w8)
+    if canonical_signs:
+        # canonicalize the implementation-arbitrary eigh signs
+        # deterministically: largest-|component| of each vector > 0.
+        comp = jnp.take_along_axis(
+            v8, jnp.argmax(jnp.abs(v8), axis=0)[None, :], axis=0)[0]
+        sign = jnp.where(comp < 0, -1.0, 1.0)
+        v8 = v8 * sign
+    return v8 * jnp.sqrt(w8)
 
 
 def _refine_step(coords, valid, adj_valid):

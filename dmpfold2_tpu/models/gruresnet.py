@@ -66,8 +66,9 @@ def _trunk_heads(params, resinp, nres, pair_mask, row_mask, *, dropout_rng=None,
     return TrunkHeads(dm, conf)
 
 
-def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
-    mds = mds_coords(dm, nres)
+def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None,
+                 canonical_signs: bool = True):
+    mds = mds_coords(dm, nres, canonical_signs=canonical_signs)
     coordembed = jnp.concatenate([mat1d, mds], axis=1)  # (L, 520)
     gru_out = gru.bigru_stack(
         params["coord_gru"], coordembed[:, None, :], valid_len,
@@ -78,7 +79,8 @@ def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None):
 
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
-            vgru_impl: str = "scan", fused_conv: bool = False):
+            vgru_impl: str = "scan", fused_conv: bool = False,
+            canonical_signs: bool = True):
     """Run the full network.
 
     Args:
@@ -128,7 +130,8 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                              dropout_rng=trunk_rng, remat=remat,
                              compute_dtype=compute_dtype, fused_conv=fused_conv)
         ca = _coords_head(params, mat1d, heads.dm, nres, nres,
-                          dropout_rng=coord_rng)
+                          dropout_rng=coord_rng,
+                          canonical_signs=canonical_signs)
         return ca, heads.conf
 
     # --- initial pass: dmap channel from x2 (template distances or -1 fill)
@@ -176,7 +179,8 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
 
 
 def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
-                    compute_dtype=None, fused_conv: bool = False):
+                    compute_dtype=None, fused_conv: bool = False,
+                    canonical_signs: bool = True):
     """Natively-batched forward: (B, N, L) alignments -> ((B, L, 5, 3), (B, L)).
 
     Equivalent to ``vmap(forward)`` but the trunk runs on the whole stacked
@@ -212,7 +216,9 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                           compute_dtype=compute_dtype, fused_conv=fused_conv)
         dm = out[..., 0]
         conf = jnp.sum(out[..., 1] * row_mask[:, None, :], axis=2) / nres_f[:, None]
-        mds = jax.vmap(mds_coords)(dm, nres)                         # (B, L, 8)
+        mds = jax.vmap(
+            lambda d, nr: mds_coords(d, nr, canonical_signs=canonical_signs)
+        )(dm, nres)                                                  # (B, L, 8)
         coordembed = jnp.concatenate([mat1d, mds], axis=2)
         gru_out = gru.bigru_stack(
             params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)), nres

@@ -54,3 +54,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_sharded(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host array (or pytree) onto a sharding, multi-process safe.
+
+    Single-process: plain ``jax.device_put``. Multi-process (``jax.distributed``
+    initialized, mesh spanning processes): every process holds the same global
+    host value and contributes only the shards its local devices own
+    (``jax.make_array_from_callback``) — ``device_put`` of a host array onto a
+    non-fully-addressable sharding is invalid, which is why the round-1
+    docstring-only path could never work on a pod slice.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+
+    def put_one(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return jax.tree.map(put_one, x)
+
+
+def owned_batch_indices(sharding: NamedSharding, shape: tuple) -> set[int]:
+    """Batch (dim-0) indices whose shards live on this process's devices."""
+    owned: set[int] = set()
+    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
+        if dev.process_index != jax.process_index():
+            continue
+        sl = idx[0] if idx else slice(None)
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else shape[0]
+        owned.update(range(start, stop))
+    return owned
+
+
+def replicate_result(mesh: Mesh, tree):
+    """All-gather a sharded result so every process can fetch it.
+
+    Under multi-process JAX, ``device_get`` of a data-sharded output raises
+    (non-addressable shards); re-jitting an identity with replicated
+    out_shardings makes XLA all-gather the (small) results over ICI, after
+    which every host holds the full arrays. No-op cost single-process.
+    """
+    fn = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+    return fn(tree)

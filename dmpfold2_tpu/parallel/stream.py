@@ -12,9 +12,15 @@ capability:
   * partial batches are padded by repeating the last target and dropped on
     the way out.
 
-Multi-host: each process feeds its local shard of every batch
-(``jax.process_index`` round-robin) — the same code path; only
-``jax.distributed.initialize`` is required at startup.
+Multi-host: after ``jax.distributed.initialize`` (see
+``mesh.initialize_distributed``), every process runs the same ``fold_many``
+over the same target list with a global mesh. Each process contributes only
+the batch shards its local devices own (``mesh.put_global`` /
+``jax.make_array_from_callback``); outputs are all-gathered over ICI
+(``mesh.replicate_result``) so every host — in particular host 0 — holds
+every result. Per-process throughput counters count only locally-computed
+targets and are summed with ``Counters.merge`` via ``global_counters()``.
+Verified by a real 2-process emulation test (tests/test_multiprocess.py).
 """
 
 from __future__ import annotations
@@ -31,7 +37,8 @@ import jax.numpy as jnp
 
 from ..engine.buckets import bucket_shape
 from ..engine.fold import _build_dmap_channel
-from .mesh import data_sharded, replicated
+from .mesh import (data_sharded, owned_batch_indices, put_global, replicated,
+                   replicate_result)
 from ..features.dca import dca_or_zero
 from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
@@ -111,6 +118,28 @@ class BatchFolder:
         return (self.precision == "bf16" and self._batched_impl()
                 and jax.default_backend() == "tpu")
 
+    def global_counters(self) -> Counters:
+        """Cluster-wide throughput: per-process counters summed across hosts.
+
+        Single-process this is just ``self.counters``; multi-process it
+        all-gathers each process's (targets, residues, started) and merges
+        with :meth:`Counters.merge`. Collective — every process must call it.
+        """
+        if jax.process_count() == 1:
+            return self.counters
+        from jax.experimental import multihost_utils
+
+        local = np.asarray(
+            [float(self.counters.targets), float(self.counters.residues),
+             self.counters.started], np.float64)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        merged = []
+        for targets, residues, started in gathered:
+            c = Counters(targets=int(targets), residues=int(residues))
+            c.started = float(started)
+            merged.append(c)
+        return Counters.merge(merged)
+
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
 
@@ -134,8 +163,9 @@ class BatchFolder:
             groups.setdefault((n_pad, l_pad), []).append(i)
 
         if self.mesh is not None:
-            # replicate weights once per run, not per batch
-            self.params = jax.device_put(self.params, replicated(self.mesh))
+            # replicate weights once per run, not per batch (multi-process
+            # safe: each host contributes its local devices' copies)
+            self.params = put_global(self.params, replicated(self.mesh))
 
         results: list = [None] * len(targets)
         for (n_pad, l_pad), idxs in groups.items():
@@ -158,13 +188,18 @@ class BatchFolder:
                     dmap_b[bi] = _build_dmap_channel(l_pad, nr, t.template_ca)
                     nseqs_b[bi], nres_b[bi] = ns, nr
 
-                args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
-                        jnp.asarray(nres_b), jnp.asarray(dmap_b))
+                owned = None
                 if self.mesh is not None:
                     args = tuple(
-                        jax.device_put(x, data_sharded(self.mesh, x.ndim))
-                        for x in args
+                        put_global(x, data_sharded(self.mesh, x.ndim))
+                        for x in (aln_b, nseqs_b, nres_b, dmap_b)
                     )
+                    if jax.process_count() > 1:
+                        owned = owned_batch_indices(
+                            data_sharded(self.mesh, 1), (pad_to,))
+                else:
+                    args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
+                            jnp.asarray(nres_b), jnp.asarray(dmap_b))
                 params = self.params
 
                 t_start = time.perf_counter()
@@ -177,6 +212,11 @@ class BatchFolder:
                         fused_conv=self._fused_conv(),
                         batched_impl=self._batched_impl(),
                     )
+                    if self.mesh is not None and jax.process_count() > 1:
+                        # all-gather the (small) outputs over ICI so every
+                        # host can fetch every target's result
+                        coords, confs = replicate_result(
+                            self.mesh, (coords, confs))
                     coords, confs = jax.device_get((coords, confs))
                 except Exception as exc:  # failure tolerance: requeue singly
                     # a whole batch failed (e.g. OOM at this bucket) — retry
@@ -185,11 +225,12 @@ class BatchFolder:
                     # (the reference's inline-skip strategy, train.py:81-84)
                     log_target("batch_failed", 0, 0, (n_pad, l_pad), 0.0,
                                None, event="batch_error", error=str(exc)[:200])
-                    for ti in chunk:
+                    for bi, ti in enumerate(chunk):
                         try:
                             results[ti] = self._fold_single(
                                 targets[ti], iterations, minsteps)
-                            self.counters.record(results[ti][0].shape[0])
+                            if owned is None or bi in owned:
+                                self.counters.record(results[ti][0].shape[0])
                         except Exception as exc2:
                             results[ti] = None
                             log_target(f"target[{ti}]", *targets[ti].alnmat.shape,
@@ -200,7 +241,10 @@ class BatchFolder:
                 for bi, ti in enumerate(chunk):
                     nr = int(nres_b[bi])
                     results[ti] = (coords[bi, :nr], confs[bi, :nr])
-                    self.counters.record(nr)
+                    # multi-process: count only targets computed on THIS
+                    # process's devices (global totals via global_counters)
+                    if owned is None or bi in owned:
+                        self.counters.record(nr)
                     if self.verbose:
                         # per-target time = batch wall-clock / device batch
                         # size; the first batch of a bucket includes XLA

@@ -1,12 +1,14 @@
 """Minimal production serving layer: HTTP folding service.
 
 Wraps the engine in a threaded HTTP server for deployment behind a load
-balancer — one process per TPU host, requests batched per shape bucket by
-the streaming engine. Endpoints:
+balancer — one process per TPU host. Concurrent requests are coalesced by a
+dispatcher thread and folded together per shape bucket through the streaming
+engine (``BatchFolder``), falling back to the single-target path under low
+load. Endpoints:
 
   POST /fold?iterations=10&minsteps=100   body: aln text -> PDB text
-  GET  /healthz                           liveness (runs a tiny fold)
-  GET  /stats                             throughput counters (JSON)
+  GET  /healthz                           liveness (cached; folds at most once)
+  GET  /stats                             throughput + batching counters (JSON)
 
 Run: ``python -m dmpfold2_tpu.serve --port 8080 [--weights params.npz]``.
 The reference has no serving story (CLI-only); this is net-new surface.
@@ -16,25 +18,82 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
+import time
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from .config import FoldConfig
 from .engine.fold import DEFAULT_ITERATIONS, DEFAULT_MINSTEPS, Folder
+from .parallel.stream import BatchFolder, Target
 from .utils import aln as aln_io
 from .utils import pdb as pdb_io
 from .utils.obs import Counters
 
+# the tiny alignment folded by the first /healthz probe (and pre-warmed at
+# startup so that probe doesn't trigger a cold XLA compile)
+HEALTH_ALN = "ARNDARNDARNDARND\n"
+HEALTH_SHAPE = (1, 16)
+
+
+@dataclass
+class _FoldRequest:
+    alnmat: np.ndarray
+    iterations: int
+    minsteps: int
+    event: threading.Event = field(default_factory=threading.Event)
+    result: tuple | None = None
+    error: Exception | None = None
+
 
 class FoldService:
-    """Thread-safe folding backend shared by request handlers."""
+    """Folding backend shared by request handlers.
 
-    def __init__(self, params, precision: str = "bf16"):
-        self.folder = Folder(params, precision=precision)
+    Handler threads enqueue requests; a single dispatcher thread coalesces
+    whatever arrives within ``batch_window_s`` (up to ``max_batch``), groups
+    by (iterations, minsteps), and dispatches each group through
+    ``BatchFolder`` — so N concurrent same-bucket requests cost one device
+    program instead of N serialized folds.
+    """
+
+    def __init__(self, params, precision: str = "bf16",
+                 config: FoldConfig | None = None,
+                 batch_window_s: float = 0.05, max_batch: int = 8):
+        cfg = config or FoldConfig(precision=precision)
+        self.config = cfg
         self.counters = Counters()
-        self._lock = threading.Lock()  # one fold at a time per chip
+        self.folder = Folder.from_config(params, cfg)
+        self.batcher = BatchFolder(
+            params, precision=cfg.precision, dca_method=cfg.dca_method,
+            counters=self.counters,
+        )
+        self.batch_window_s = batch_window_s
+        self.max_batch = max_batch
+        self.batch_stats = {"dispatches": 0, "requests": 0, "max_coalesced": 0}
+        self._ready = threading.Event()
+        self._queue: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def warmup(self, shapes=((256, 96), (256, 128))) -> None:
+        """Precompile common buckets + the healthz shape; marks the service
+        ready so /healthz answers from cache."""
+        self.folder.warmup(shapes=tuple(shapes) + (HEALTH_SHAPE,))
+        self._ready.set()
+
+    def ready(self) -> bool:
+        return self._ready.is_set()
+
+    def close(self) -> None:
+        self._queue.put(None)
+
+    # -- request path ------------------------------------------------------
 
     def fold_aln_text(self, text: str, iterations: int, minsteps: int) -> str:
         # accepts aln or a3m bodies (lowercase insertion states stripped)
@@ -42,12 +101,79 @@ class FoldService:
         alnmat = aln_io.encode_rows(rows)
         if alnmat.shape[0] > aln_io.MAX_SEQS:
             alnmat = alnmat[: aln_io.MAX_SEQS]
-        with self._lock:
-            coords, confs = self.folder.fold(
-                alnmat, iterations=iterations, minsteps=minsteps
-            )
-            self.counters.record(alnmat.shape[1])
+        req = _FoldRequest(alnmat, iterations, minsteps)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        coords, confs = req.result
+        self._ready.set()
         return "\n".join(pdb_io.format_pdb(coords, confs, alnmat[0])) + "\n"
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            req = self._queue.get()
+            if req is None:
+                return
+            batch = [req]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:       # shutdown mid-coalesce: finish batch first
+                    self._queue.put(None)
+                    break
+                batch.append(nxt)
+
+            groups: dict[tuple[int, int], list[_FoldRequest]] = {}
+            for r in batch:
+                groups.setdefault((r.iterations, r.minsteps), []).append(r)
+            for (it, ms), reqs in groups.items():
+                self._run_group(it, ms, reqs)
+
+    def _run_group(self, iterations: int, minsteps: int,
+                   reqs: list[_FoldRequest]) -> None:
+        self.batch_stats["dispatches"] += 1
+        self.batch_stats["requests"] += len(reqs)
+        self.batch_stats["max_coalesced"] = max(
+            self.batch_stats["max_coalesced"], len(reqs))
+
+        if len(reqs) == 1:           # low load: single-target path
+            r = reqs[0]
+            try:
+                r.result = self.folder.fold(
+                    r.alnmat, iterations=iterations, minsteps=minsteps)
+                self.counters.record(r.alnmat.shape[1])
+            except Exception as exc:
+                r.error = exc
+            r.event.set()
+            return
+
+        # pad the device batch to a power of two so the compile cache sees a
+        # handful of batch sizes, not one program per coalesce count
+        self.batcher.batch_size = 1 << (len(reqs) - 1).bit_length()
+        try:
+            results = self.batcher.fold_many(
+                [Target(alnmat=r.alnmat) for r in reqs],
+                iterations=iterations, minsteps=minsteps)
+        except Exception as exc:
+            for r in reqs:
+                r.error = exc
+                r.event.set()
+            return
+        for r, res in zip(reqs, results):
+            if res is None:
+                r.error = RuntimeError("fold failed (see target_error log)")
+            else:
+                r.result = res
+            r.event.set()
 
 
 def make_handler(service: FoldService):
@@ -66,16 +192,22 @@ def make_handler(service: FoldService):
         def do_GET(self):
             path = urlparse(self.path).path
             if path == "/healthz":
-                # exercise the model (compiled after the first call)
+                # cached liveness: after warmup (or any successful fold) the
+                # probe costs nothing; only the very first probe of a cold,
+                # un-warmed server folds the tiny health alignment
+                if service.ready():
+                    self._send(200, "ok\n")
+                    return
                 try:
-                    service.fold_aln_text("ARNDARNDARNDARND\n", 0, 0)
+                    service.fold_aln_text(HEALTH_ALN, 0, 0)
                 except Exception as exc:
                     self._send(500, f"unhealthy: {exc}\n")
                     return
                 self._send(200, "ok\n")
             elif path == "/stats":
-                self._send(200, json.dumps(service.counters.summary()) + "\n",
-                           "application/json")
+                stats = service.counters.summary()
+                stats["batching"] = dict(service.batch_stats)
+                self._send(200, json.dumps(stats) + "\n", "application/json")
             else:
                 self._send(404, "not found\n")
 
@@ -107,8 +239,10 @@ def make_handler(service: FoldService):
 
 
 def serve(params, host: str = "0.0.0.0", port: int = 8080,
-          precision: str = "bf16") -> ThreadingHTTPServer:
-    service = FoldService(params, precision)
+          precision: str = "bf16", config: FoldConfig | None = None,
+          batch_window_s: float = 0.05, max_batch: int = 8) -> ThreadingHTTPServer:
+    service = FoldService(params, precision, config,
+                          batch_window_s=batch_window_s, max_batch=max_batch)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.fold_service = service  # exposed for warmup / introspection
     return server
@@ -122,16 +256,22 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--weights", default=None)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--batch-window-ms", type=float, default=50.0,
+                    help="request-coalescing window for batched dispatch")
+    ap.add_argument("--max-batch", type=int, default=8)
     args = ap.parse_args(argv)
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     params = load_weights(args.weights)
-    server = serve(params, args.host, args.port, args.precision)
-    # precompile common shape buckets before accepting traffic so the first
-    # real requests don't block on minutes of XLA compilation
+    server = serve(params, args.host, args.port, args.precision,
+                   batch_window_s=args.batch_window_ms / 1000.0,
+                   max_batch=args.max_batch)
+    # precompile common shape buckets (and the healthz shape) before
+    # accepting traffic so the first real requests don't block on minutes of
+    # XLA compilation
     print("warming up (precompiling common shape buckets)...")
-    server.fold_service.folder.warmup(shapes=((256, 96), (256, 128)))
+    server.fold_service.warmup()
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import TrainConfig
 from ..models import gruresnet
 from . import checkpoint as ckpt
 from .dataset import BATCH_SIZE, DMPDataset, load_cluster_list, pad_to_bucket
@@ -39,18 +40,19 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
           workdir: str = ".", num_epochs: int = 1000, micro_batch: int = 1,
           accum_steps: int = BATCH_SIZE, restart: bool = True,
           refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None,
-          mesh=None, precision: str = "fp32"):
+          mesh=None, precision: str = "fp32", cfg: TrainConfig | None = None):
+    cfg = cfg or TrainConfig()
     train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
     print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
 
     params = gruresnet.init_params(jax.random.PRNGKey(seed), **(model_kwargs or {}))
-    lr = 3e-4
+    lr = cfg.learning_rate_scratch
     if restart:
         best_train = os.path.join(workdir, ckpt.BEST_TRAIN)
         if os.path.isfile(best_train):
             params, n = ckpt.partial_restore(params, best_train)
             print(f"warm restart: {n} tensors restored from {best_train}")
-            lr = 1e-4  # reference train.py:263
+            lr = cfg.learning_rate_restart  # reference train.py:263
 
     # accum_steps counts SAMPLES (the reference's 32-sample Adam step,
     # train.py:21): convert to micro-batch steps
@@ -79,10 +81,12 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         # over the mesh's 'data' axis (GSPMD inserts the gradient psum).
         # Placement happens after any checkpoint resume so restored state
         # lands on the mesh too.
-        from ..parallel.mesh import data_sharded, replicated
+        from ..parallel.mesh import data_sharded, put_global, replicated
 
-        params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        # put_global (vs plain device_put) keeps this path valid under
+        # multi-process JAX: each host contributes its local devices' shards
+        params = put_global(params, replicated(mesh))
+        opt_state = put_global(opt_state, replicated(mesh))
         n_data = mesh.shape.get("data", 1)
 
         def shard_batch(b):
@@ -92,7 +96,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
                 pad = n_data - size % n_data
                 b = type(b)(*(jnp.concatenate([x, x[-1:].repeat(pad, axis=0)])
                               for x in b))
-            return type(b)(*(jax.device_put(x, data_sharded(mesh, x.ndim))
+            return type(b)(*(put_global(np.asarray(x), data_sharded(mesh, x.ndim))
                              for x in b))
 
     train_data = DMPDataset(train_list, data_dir, augment=True)
@@ -125,6 +129,11 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         val_err, val_samples, val_bad = 0.0, 0, 0
         for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
                                    drop_last=False):
+            # shard_batch may pad a partial batch by repeating the tail
+            # sample; weight the accumulated loss by the TRUE sample count so
+            # duplicated padding samples don't double-count in best-val
+            # selection
+            true_size = batch.alnmat.shape[0]
             batch = shard_batch(batch)
             val_rng, sub = jax.random.split(val_rng)
             _, _, metrics = train_step(
@@ -134,8 +143,8 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):
-                val_err += loss * batch.alnmat.shape[0]
-                val_samples += batch.alnmat.shape[0]
+                val_err += loss * true_size
+                val_samples += true_size
             else:
                 val_bad += 1
 
@@ -162,14 +171,17 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
 
 
 def main(argv=None):
+    # CLI defaults come from the shared config dataclass (SURVEY §5: single
+    # source of configuration, reference train.py:21-33 module constants)
+    cfg = TrainConfig()
     ap = argparse.ArgumentParser(description="Train the TPU-native GRUResNet")
     ap.add_argument("--data-dir", default=".")
     ap.add_argument("--clusters", default="train_clust.lst")
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--epochs", type=int, default=1000)
-    ap.add_argument("--micro-batch", type=int, default=1)
-    ap.add_argument("--accum-steps", type=int, default=BATCH_SIZE)
-    ap.add_argument("--refine-steps", type=int, default=100)
+    ap.add_argument("--micro-batch", type=int, default=cfg.micro_batch)
+    ap.add_argument("--accum-steps", type=int, default=cfg.batch_size)
+    ap.add_argument("--refine-steps", type=int, default=cfg.refine_steps)
     ap.add_argument("--no-restart", action="store_true")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     args = ap.parse_args(argv)

@@ -71,7 +71,9 @@ int dmpio_encode_aln(const char* text, int64_t text_len, int32_t max_seqs,
         int64_t eol = pos;
         while (eol < text_len && text[eol] != '\n') ++eol;
         int64_t end = eol;
-        while (end > pos && (text[end - 1] == '\r' || text[end - 1] == ' ' || text[end - 1] == '\t')) --end;
+        while (end > pos && (text[end - 1] == '\r' || text[end - 1] == ' ' ||
+                             text[end - 1] == '\t' || text[end - 1] == '\v' ||
+                             text[end - 1] == '\f')) --end;  // full str.rstrip() set
         int64_t len = end - pos;
         if (len > 0 && text[pos] != '>') {
             if (nres < 0) nres = static_cast<int32_t>(len);

@@ -69,3 +69,50 @@ def test_fold_a3m_body(server_url):
         data=aln_text.encode(), method="POST")
     with urllib.request.urlopen(req) as resp:
         assert resp.status == 200
+
+
+def test_concurrent_requests_are_batched():
+    """Concurrent same-config requests coalesce into one device dispatch
+    (the serving layer's batching promise — VERDICT round 1 item 8)."""
+    from dmpfold2_tpu.serve import serve as make_server
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16,
+                                   num_blocks=2)
+    # long window so all clients land in one coalescing batch deterministically
+    server = make_server(params, host="127.0.0.1", port=0, precision="fp32",
+                         batch_window_s=1.0, max_batch=8)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{port}"
+    aln_text = ">q\nIKLTVGGVDITFEPN\nITLTIAGTDISFEPT\n"
+
+    bodies, errors = [], []
+
+    def client():
+        req = urllib.request.Request(
+            f"{url}/fold?iterations=0&minsteps=1",
+            data=aln_text.encode(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                bodies.append(resp.read().decode())
+        except Exception as exc:  # pragma: no cover - surfaced in assert
+            errors.append(exc)
+
+    clients = [threading.Thread(target=client) for _ in range(4)]
+    for t in clients:
+        t.start()
+    for t in clients:
+        t.join(timeout=300)
+    service = server.fold_service
+    server.shutdown()
+    service.close()
+
+    assert not errors, errors
+    assert len(bodies) == 4
+    assert all(b.startswith("REMARK  CONF:") for b in bodies)
+    # all four requests must have ridden fewer device dispatches than
+    # requests, with at least one multi-target batch
+    assert service.batch_stats["requests"] == 4
+    assert service.batch_stats["max_coalesced"] >= 2
+    assert service.batch_stats["dispatches"] < 4

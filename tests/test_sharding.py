@@ -109,7 +109,7 @@ def test_seq_sharded_inference_matches_unsharded():
         shard_c, shard_f = folder.fold(alnmat, iterations=0, minsteps=3)
 
     np.testing.assert_allclose(shard_f, base_f, atol=1e-4)
-    np.testing.assert_allclose(shard_c, base_c, atol=2e-3)
+    np.testing.assert_allclose(shard_c, base_c, atol=5e-3)
 
 
 def test_dp_fold_has_no_cross_device_collectives():

@@ -32,7 +32,7 @@ def test_batch_matches_single(params, targets):
         sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
         assert bc.shape == sc.shape
         np.testing.assert_allclose(bf, sf, atol=1e-4)
-        np.testing.assert_allclose(bc, sc, atol=2e-3)
+        np.testing.assert_allclose(bc, sc, atol=5e-3)
 
 
 def test_batch_dp_mesh(params, targets):
@@ -44,7 +44,7 @@ def test_batch_dp_mesh(params, targets):
     for t, (bc, bf) in zip(targets, results):
         sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
         np.testing.assert_allclose(bf, sf, atol=1e-4)
-        np.testing.assert_allclose(bc, sc, atol=2e-3)
+        np.testing.assert_allclose(bc, sc, atol=5e-3)
 
 
 def test_counters_and_logging(params, targets, tmp_path, monkeypatch):

@@ -102,6 +102,26 @@ def test_sample_loss_finite_and_grads_flow(tiny_setup):
     assert max(norms) > 0
 
 
+def test_sample_loss_grads_finite_with_padding(tiny_setup):
+    """Regression (round 2): padded buckets used to NaN every gradient —
+    degenerate zero eigenvalues from the padded Gram block break the eigh
+    VJP, and coincident padded CAs break _normalize's sqrt backward. The
+    non-finite guard then silently zeroed the whole step, so mixed-length
+    batches made no training progress."""
+    params, batch = tiny_setup
+    for nres in (10, 7):  # strictly less than the L=12 bucket
+        grads = jax.grad(
+            lambda p: sample_loss(
+                p, batch.alnmat[0], batch.targets[0],
+                batch.nseqs[0], jnp.asarray(nres), jax.random.PRNGKey(1),
+                nloops=1, refine_steps=3,
+            )[0]
+        )(params)
+        norms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)]
+        assert all(np.isfinite(n) for n in norms), f"nres={nres}"
+        assert max(norms) > 0
+
+
 def test_train_step_updates_params(tiny_setup):
     params, batch = tiny_setup
     opt = make_optimizer(1e-3)
