@@ -73,6 +73,19 @@ def test_forward_matches_oracle(oracle, params, inputs, nloops, refine_steps):
     np.testing.assert_allclose(ours_c, ref_c.reshape(L, 5, 3), atol=5e-3)
 
 
+def test_forward_matches_oracle_full_defaults(oracle, params, inputs):
+    """Reference DEFAULT settings (-n 10 -m 100, predict.py:26-28): the
+    flagship inference path — 10 best-by-confidence recycles and 100
+    refinement steps — against the torch oracle (VERDICT round-1 item 6).
+    100 Euler steps amplify fp32 drift, hence the wider (still ~0.05 Å)
+    coordinate budget."""
+    aln, x2 = inputs
+    ours_c, ours_conf = run_ours(params, aln, x2, 10, 100)
+    ref_c, ref_conf = run_oracle(oracle, aln, x2, 10, 100)
+    np.testing.assert_allclose(ours_conf, ref_conf, atol=5e-4)
+    np.testing.assert_allclose(ours_c, ref_c.reshape(L, 5, 3), atol=5e-2)
+
+
 def test_forward_padding_invariant(params, inputs):
     aln, x2 = inputs
     base_c, base_conf = run_ours(params, aln, x2, 1, 3)
