@@ -136,7 +136,7 @@ def measure_ours(params) -> dict:
     return results
 
 
-def measure_trunk_ms_per_residue(params) -> float:
+def measure_trunk_ms_per_residue(params, precision: str = "fp32") -> float:
     """Trunk forward ms/residue at nres=256 (BASELINE.json metric)."""
     import jax
     import jax.numpy as jnp
@@ -144,10 +144,11 @@ def measure_trunk_ms_per_residue(params) -> float:
 
     l = 256
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, l, l, 955)), jnp.float32)
+    dtype = jnp.bfloat16 if precision == "bf16" else None
 
     # reduce to a scalar and fetch it: block_until_ready alone does not
     # reliably block over the remote-execution tunnel
-    fn = jax.jit(lambda p, x: trunk_apply(p, x).sum())
+    fn = jax.jit(lambda p, x: trunk_apply(p, x, compute_dtype=dtype).sum())
     float(fn(params["trunk"], x))
     times = []
     for _ in range(5):
@@ -155,8 +156,34 @@ def measure_trunk_ms_per_residue(params) -> float:
         float(fn(params["trunk"], x))
         times.append(time.perf_counter() - t0)
     ms = min(times) * 1000
-    log(f"trunk forward @ L=256: {ms:.1f}ms total, {ms / l:.4f} ms/residue")
+    from dmpfold2_tpu.utils.flops import mfu, trunk_pass_flops
+    trunk_mfu = mfu(trunk_pass_flops(l), ms / 1000)
+    log(f"trunk forward @ L=256 ({precision}): {ms:.1f}ms total, "
+        f"{ms / l:.4f} ms/residue, {trunk_mfu * 100:.1f}% of bf16 peak")
     return ms / l
+
+
+def measure_long_target(params, nres: int = 720, nseqs: int = 3000,
+                        iterations: int = 30, minsteps: int = 100):
+    """BASELINE config 4 stress: L>=700, deep MSA, 30 recycles (driver-visible
+    so regressions show up in BENCH_r{N}.json — VERDICT round-1 item 3)."""
+    from dmpfold2_tpu.engine.fold import Folder
+
+    rng = np.random.default_rng(0)
+    alnmat = rng.integers(0, 21, (nseqs, nres)).astype(np.uint8)
+    folder = Folder(params, precision="bf16")
+    t0 = time.perf_counter()
+    folder.fold(alnmat, iterations=iterations, minsteps=minsteps)
+    log(f"long target (L={nres}, {nseqs}-row MSA, {iterations} recycles): "
+        f"first call {time.perf_counter() - t0:.1f}s")
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        folder.fold(alnmat, iterations=iterations, minsteps=minsteps)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"long target: best of 2 = {best:.2f}s")
+    return best
 
 
 def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 32) -> float:
@@ -190,12 +217,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
+    from dmpfold2_tpu.engine.buckets import bucket_shape
+    from dmpfold2_tpu.utils.flops import V5E_BF16_PEAK, fold_flops, mfu
+
     params = get_bench_params()
     trunk_ms = measure_trunk_ms_per_residue(params)
+    trunk_ms_bf16 = measure_trunk_ms_per_residue(params, precision="bf16")
     ours = measure_ours(params)
     tps = measure_targets_per_s(params)
+    long_s = measure_long_target(params)
     ref = measure_reference_cpu()
 
+    # MFU accounting (analytic dense FLOPs / wall-clock / v5e bf16 peak).
+    # PF10963 pads to its bucket; the batched metric uses the same bucket.
+    n_pad, l_pad = bucket_shape(252, 82)
+    flops_default = fold_flops(n_pad, l_pad, ITERATIONS, MINSTEPS)
+    flops_long = fold_flops(*bucket_shape(3000, 720), 30, 100)
     result = {
         "metric": "PF10963 default fold (10 recycles + 100 minsteps) wall-clock",
         "value": round(ours["default"], 4),
@@ -205,9 +242,16 @@ def main():
             "fastest_mode_s": round(ours["fastest"], 4),
             "default_bf16_s": round(ours["default_bf16"], 4),
             "template_n30_m200_s": round(ours["template_n30_m200"], 4),
+            "long_target_s": round(long_s, 2),
             "trunk_ms_per_residue_L256": round(trunk_ms, 4),
+            "trunk_bf16_ms_per_residue_L256": round(trunk_ms_bf16, 4),
             "targets_per_s_default": round(tps, 3),
             "reference_cpu_default_s": round(ref, 2),
+            "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
+            "mfu_default_bf16": round(mfu(flops_default, ours["default_bf16"]), 4),
+            "mfu_batched_bf16": round(mfu(flops_default * tps, 1.0), 4),
+            "mfu_long_target_bf16": round(mfu(flops_long, long_s), 4),
+            "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,
         },
     }
     print(json.dumps(result))

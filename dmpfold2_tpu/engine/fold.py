@@ -32,10 +32,10 @@ DEFAULT_MINSTEPS = FoldConfig.minsteps
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv"))
+                                   "fused_conv", "refine_impl"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                  dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                 fused_conv=False):
+                 fused_conv=False, refine_impl="xla"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
@@ -48,7 +48,8 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
         return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
                                  refine_steps, compute_dtype=compute_dtype,
                                  vgru_impl=vgru_impl, fused_conv=fused_conv,
-                                 canonical_signs=(precision != "fp32_strict"))
+                                 canonical_signs=(precision != "fp32_strict"),
+                                 refine_impl=refine_impl)
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -107,6 +108,7 @@ class Folder:
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
             dca_method=self.dca_method, precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
+            refine_impl=self._refine_impl(),
         )
         # one host fetch for both outputs (each np.asarray is a separate
         # round trip on remote-device transports)
@@ -121,6 +123,10 @@ class Folder:
     def _fused_conv(self) -> bool:
         # Pallas fused conv+maxout: bf16 policy on TPU only
         return self.precision == "bf16" and jax.default_backend() == "tpu"
+
+    def _refine_impl(self) -> str:
+        # fused VMEM-resident refinement loop on TPU (kernels/refine.py)
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.

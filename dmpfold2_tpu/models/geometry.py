@@ -101,11 +101,18 @@ def _refine_step(coords, valid, adj_valid):
     return coords + jnp.clip(accels, -100.0, 100.0) * STEP_SIZE
 
 
-def refine_coords(coords, n_steps, nres=None):
+def refine_coords(coords, n_steps, nres=None, impl: str = "xla"):
     """Iterative CA-trace refinement; ``n_steps`` may be a traced scalar.
 
     ``coords``: (L, 3). Padded positions receive zero force and exert none.
+    ``impl="pallas"`` runs the whole loop in one fused kernel with the state
+    VMEM-resident (kernels/refine.py) — inference only (no VJP; static-step
+    training always takes the differentiable scan below).
     """
+    if impl == "pallas" and not isinstance(n_steps, int):
+        from ..kernels.refine import refine_coords_pallas
+
+        return refine_coords_pallas(coords, n_steps, nres)
     l_pad = coords.shape[0]
     idx = jnp.arange(l_pad)
     valid = idx < nres if nres is not None else jnp.ones((l_pad,), bool)

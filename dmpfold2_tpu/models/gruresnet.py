@@ -80,7 +80,7 @@ def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None,
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
             vgru_impl: str = "scan", fused_conv: bool = False,
-            canonical_signs: bool = True):
+            canonical_signs: bool = True, refine_impl: str = "xla"):
     """Run the full network.
 
     Args:
@@ -137,7 +137,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     # --- initial pass: dmap channel from x2 (template distances or -1 fill)
     rng0 = rngs.get("init") if rngs else None
     ca_coords, conf = run_iteration(x2[:, :, -1], rng0)
-    ca_coords = refine_coords(ca_coords, refine_steps, nres)
+    ca_coords = refine_coords(ca_coords, refine_steps, nres, impl=refine_impl)
     best_conf, best_coords = conf, ca_coords
     best_mean = jnp.sum(conf * row_mask) / nres
 
@@ -173,14 +173,15 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
     _, _, best_conf, best_coords = carry
 
-    best_coords = refine_coords(best_coords, refine_steps, nres)
+    best_coords = refine_coords(best_coords, refine_steps, nres, impl=refine_impl)
     coords_out = calpha_to_main_chain(best_coords, nres)
     return coords_out, jax.nn.sigmoid(best_conf)
 
 
 def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                     compute_dtype=None, fused_conv: bool = False,
-                    canonical_signs: bool = True):
+                    canonical_signs: bool = True, refine_impl: str = "xla",
+                    vgru_impl: str = "scan"):
     """Natively-batched forward: (B, N, L) alignments -> ((B, L, 5, 3), (B, L)).
 
     Equivalent to ``vmap(forward)`` but the trunk runs on the whole stacked
@@ -195,11 +196,18 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     pair_mask = row_mask[:, :, None] & row_mask[:, None, :]          # (B, L, L)
     nres_f = jnp.asarray(nres, jnp.float32)
 
-    # --- vertical GRU over MSA rows: columns = B*L residue positions
-    x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
-    x_cols = jnp.transpose(x, (1, 0, 2, 3)).reshape(n_rows, batch * l_pad, -1)
+    # --- vertical GRU over MSA rows: columns = B*L residue positions, each
+    # frozen at its own target's true depth
     col_valid = jnp.repeat(nseqs, l_pad)                             # (B*L,)
-    seq_embed = gru.unigru_stack_final(params["vgru"], x_cols, valid_len=col_valid)
+    if vgru_impl == "pallas":
+        from ..kernels.vgru import vgru_final_cols_pallas
+
+        aln_cols = jnp.transpose(alnmat, (1, 0, 2)).reshape(n_rows, batch * l_pad)
+        seq_embed = vgru_final_cols_pallas(params["vgru"], aln_cols, col_valid)
+    else:
+        x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
+        x_cols = jnp.transpose(x, (1, 0, 2, 3)).reshape(n_rows, batch * l_pad, -1)
+        seq_embed = gru.unigru_stack_final(params["vgru"], x_cols, valid_len=col_valid)
     seq_embed = seq_embed.reshape(batch, l_pad, -1)                  # (B, L, 512)
 
     # --- horizontal biGRU over residues: batch dim = targets
@@ -226,7 +234,9 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         ca = jnp.transpose(gru_out, (1, 0, 2)) @ params["coord_fc"]  # (B, L, 3)
         return ca, conf
 
-    refine_b = jax.vmap(refine_coords, in_axes=(0, None, 0))
+    refine_b = jax.vmap(
+        lambda c, s, nr: refine_coords(c, s, nr, impl=refine_impl),
+        in_axes=(0, None, 0))
 
     ca_coords, conf = run_iteration(x2[..., -1])
     ca_coords = refine_b(ca_coords, refine_steps, nres)

@@ -141,9 +141,22 @@ def scse_params(key, width: int, reduction: int = 16):
     }
 
 
-def scse(params, x, mask=None):
-    """Concurrent spatial & channel squeeze-excitation: cSE(x) + sSE(x)."""
-    pooled = masked_spatial_mean(x.astype(jnp.float32), mask)  # (B, C)
+def scse(params, x, mask=None, pooled_const=None):
+    """Concurrent spatial & channel squeeze-excitation: cSE(x) + sSE(x).
+
+    ``pooled_const``: exact spatial mean of ``x`` when known a priori. In
+    this architecture cSE always pools an InstanceNorm(affine) output, whose
+    per-channel spatial mean is *identically* the norm's beta (the normalized
+    part sums to zero over the statistics region by construction) — verified
+    exact against the torch oracle. Passing beta turns the cSE gate into a
+    per-model constant: one full map traversal (the masked pooling
+    reduction) disappears from every block of every recycle, and the
+    gradient is mathematically unchanged (d pooled / d x ≡ 0).
+    """
+    if pooled_const is not None:
+        pooled = pooled_const.astype(jnp.float32)[None, :]     # (1, C)
+    else:
+        pooled = masked_spatial_mean(x.astype(jnp.float32), mask)  # (B, C)
     y = jax.nn.relu(pooled @ params["cse_w1"]) @ params["cse_w2"]
     cse_out = x * jax.nn.sigmoid(y).astype(x.dtype)[:, None, None, :]
 
@@ -179,7 +192,9 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
         out = jnp.where(m2, out / keep, 0.0)
     out = maxout2d(params["maxout"], out, pool=4, dilation=dilation, mask=mask,
                    compute_dtype=compute_dtype, fused_conv=fused_conv)
-    out = scse(params["scse"], out, mask)
+    # cSE pools the InstanceNorm output -> its spatial mean is exactly the
+    # norm's beta; see scse() docstring
+    out = scse(params["scse"], out, mask, pooled_const=params["maxout"]["beta"])
     out = (out + x).astype(x.dtype)
     if mask is not None:
         out = out * mask

@@ -46,10 +46,10 @@ from ..utils.obs import Counters, log_target
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "batched_impl"))
+                                   "fused_conv", "batched_impl", "refine_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                fused_conv=False, batched_impl=False):
+                fused_conv=False, batched_impl=False, refine_impl="xla"):
     """Batched fold: (B, N, L) -> ((B, L, 5, 3), (B, L))."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
@@ -67,6 +67,7 @@ def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         return gruresnet.forward_batched(
             params, alnmat, x2, nseqs, nres, nloops, refine_steps,
             compute_dtype=compute_dtype, fused_conv=fused_conv,
+            refine_impl=refine_impl, vgru_impl=vgru_impl,
         )
 
     def one(aln, ns, nr, dmap):
@@ -93,10 +94,12 @@ class BatchFolder:
     batch_size: int | None = None  # default: number of data-axis shards
     precision: str = "fp32"
     dca_method: str = "cholesky"
-    # vmap over the pallas kernel prepends a grid dim (batch elements scan
-    # rows serially), while a vmapped lax.scan batches each step's matmuls —
-    # measured 2x faster at B=8. The kernel wins only for single targets.
-    vgru_impl: str = "scan"
+    # "auto": the per-column-valid Pallas kernel serves the WHOLE batch in
+    # one invocation on the natively-batched TPU path (columns = B*L).
+    # Under a mesh (vmapped GSPMD path) vmap would serialize the kernel's
+    # grid, so the vmapped lax.scan — which batches each step's matmuls —
+    # stays the right call there.
+    vgru_impl: str = "auto"
     verbose: bool = False          # per-target JSON logs (utils.obs)
     counters: Counters = field(default_factory=Counters)
 
@@ -106,7 +109,11 @@ class BatchFolder:
         return self.mesh.shape.get("data", 1)
 
     def _vgru_impl(self) -> str:
-        return self.vgru_impl
+        if self.vgru_impl != "auto":
+            return self.vgru_impl
+        if self._batched_impl() and jax.default_backend() == "tpu":
+            return "pallas"
+        return "scan"
 
     def _batched_impl(self) -> bool:
         # the natively-batched forward runs one trunk conv for the whole
@@ -117,6 +124,13 @@ class BatchFolder:
     def _fused_conv(self) -> bool:
         return (self.precision == "bf16" and self._batched_impl()
                 and jax.default_backend() == "tpu")
+
+    def _refine_impl(self) -> str:
+        # fused refinement kernel: single-device batched path only (a Pallas
+        # grid can't be GSPMD-partitioned over the mesh's data axis)
+        if self._batched_impl() and jax.default_backend() == "tpu":
+            return "pallas"
+        return "xla"
 
     def global_counters(self) -> Counters:
         """Cluster-wide throughput: per-process counters summed across hosts.
@@ -211,6 +225,7 @@ class BatchFolder:
                         vgru_impl=self._vgru_impl(),
                         fused_conv=self._fused_conv(),
                         batched_impl=self._batched_impl(),
+                        refine_impl=self._refine_impl(),
                     )
                     if self.mesh is not None and jax.process_count() > 1:
                         # all-gather the (small) outputs over ICI so every

@@ -1,0 +1,75 @@
+"""Analytic FLOP accounting for the folding pipeline (MFU / speed-of-light).
+
+BASELINE.json asks for the trunk + minimization loop benchmarked against
+speed-of-light per chip; these closed-form counts (2·M·N·K per matmul/conv,
+library-standard convention) cover every dense-compute stage of one fold so
+bench.py can report model FLOP utilization honestly. Elementwise work
+(activations, norms, masking) is excluded — it is bandwidth-, not
+FLOP-bound, so including it would inflate MFU.
+
+Model shape constants mirror the reference GRUResNet(512, 128)
+(/root/reference/dmpfold/network.py:181-215); see models/trunk.py and
+models/gru.py for the TPU-native layer dims.
+"""
+
+from __future__ import annotations
+
+# TPU v5e bf16 matmul peak per chip (public spec: 197 TFLOP/s dense bf16).
+V5E_BF16_PEAK = 197e12
+
+
+def gru_flops(seq_len: int, batch_cols: int, layer_dims, bidirectional=False) -> float:
+    """Dense FLOPs of a stacked GRU: per step, input + hidden projections to
+    the 3 fused gates (2·(in·3h + h·3h) each)."""
+    total = 0.0
+    for cin, h in layer_dims:
+        total += seq_len * batch_cols * 2.0 * (cin * 3 * h + h * 3 * h)
+    return total * (2.0 if bidirectional else 1.0)
+
+
+def trunk_pass_flops(l_pad: int, width: int = 512, cwidth: int = 128,
+                     num_blocks: int = 16) -> float:
+    """One trunk forward on an (L, L, 955) pair map."""
+    ll = float(l_pad) * l_pad
+    in_ch = 442 + width + 1
+    f = 2.0 * ll * in_ch * (cwidth * 3)                  # input 1x1 maxout conv
+    f += num_blocks * 2.0 * ll * 25 * cwidth * (cwidth * 4)  # 5x5 block convs
+    f += num_blocks * 2.0 * ll * cwidth                  # sSE 1x1 conv
+    f += 2.0 * ll * cwidth * 2                           # 1x1 head conv
+    return f
+
+
+def fold_flops(nseqs: int, nres: int, nloops: int, minsteps: int, *,
+               width: int = 512, cwidth: int = 128, num_blocks: int = 16) -> float:
+    """Dense FLOPs of one full fold at padded bucket shape (nseqs, nres).
+
+    Stages (SURVEY §3.2-3.3): reweight, DCA covariance + Cholesky inverse,
+    vertical/horizontal GRUs, (1+nloops) trunk+MDS+coords-head passes, and
+    2×minsteps refinement steps (post-initial and post-recycling,
+    reference network.py:257-258, 308-309).
+    """
+    n, l = float(nseqs), float(nres)
+    h = width // 2
+    f = 2.0 * n * n * (l * 21)                     # reweight identity matmul
+    d = 21.0 * l                                   # DCA: (21L)² covariance
+    f += 2.0 * n * d * d
+    f += d ** 3 / 3.0 + 2.0 * d ** 3               # Cholesky factor + inverse
+    f += gru_flops(nseqs, nres, [(22, width), (width, width)])        # vgru
+    f += gru_flops(nres, 1, [(width, h), (width, h)], True)           # hgru
+
+    per_pass = (
+        l * l * width                               # pair outer product
+        + trunk_pass_flops(nres, width, cwidth, num_blocks)
+        + 9.0 * l ** 3                              # eigh (syevd-class cost)
+        + gru_flops(nres, 1, [(width + 8, h), (width, h), (width, h)], True)
+        + 2.0 * l * width * 3                       # coord_fc
+    )
+    f += (1 + nloops) * per_pass
+    f += 2.0 * minsteps * 20.0 * l * l              # refinement force field
+    return f
+
+
+def mfu(flops: float, seconds: float, peak: float = V5E_BF16_PEAK) -> float:
+    """Fraction of chip peak sustained (reported against bf16 peak even for
+    fp32 runs — stated in bench output — so numbers are comparable)."""
+    return flops / max(seconds, 1e-12) / peak

@@ -37,6 +37,43 @@ def test_vgru_kernel_masked(layers):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_vgru_cols_kernel_per_column_valid(layers):
+    """Batched-mode kernel: each column freezes at its OWN valid depth —
+    this is what lets one invocation serve a whole shape-bucket batch."""
+    from dmpfold2_tpu.kernels.vgru import vgru_final_cols_pallas
+
+    rng = np.random.default_rng(2)
+    n_rows, n_cols = 24, 16
+    aln = jnp.asarray(rng.integers(0, 22, (n_rows, n_cols)), jnp.int32)
+    col_valid = jnp.asarray(rng.integers(1, n_rows + 1, (n_cols,)), jnp.int32)
+    out = vgru_final_cols_pallas(layers, aln, col_valid, interpret=True)
+    # reference: run each column separately at its own depth
+    for c in range(n_cols):
+        ref_c = _ref(layers, aln[:, c : c + 1], int(col_valid[c]))
+        np.testing.assert_allclose(np.asarray(out[c]), np.asarray(ref_c[0]),
+                                   atol=1e-5, err_msg=f"col {c}")
+
+
+def test_vgru_cols_kernel_matches_batched_forward(layers):
+    """The flattened-columns kernel equals the batched scan path for a
+    (B, N, L) stack with per-target nseqs."""
+    rng = np.random.default_rng(3)
+    b, n_rows, l = 3, 16, 8
+    alnmat = jnp.asarray(rng.integers(0, 22, (b, n_rows, l)), jnp.int32)
+    nseqs = jnp.asarray([16, 9, 4], jnp.int32)
+
+    from dmpfold2_tpu.kernels.vgru import vgru_final_cols_pallas
+
+    aln_cols = jnp.transpose(alnmat, (1, 0, 2)).reshape(n_rows, b * l)
+    col_valid = jnp.repeat(nseqs, l)
+    out = vgru_final_cols_pallas(layers, aln_cols, col_valid, interpret=True)
+
+    x = jnp.asarray(alnmat[..., None] == jnp.arange(22), jnp.float32)
+    x_cols = jnp.transpose(x, (1, 0, 2, 3)).reshape(n_rows, b * l, -1)
+    ref = gru.unigru_stack_final(layers, x_cols, valid_len=col_valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_fused_conv_maxout_matches_xla():
     from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
 
