@@ -55,3 +55,6 @@ class TrainConfig:
     micro_batch: int = 1
     learning_rate_restart: float = 1e-4
     learning_rate_scratch: float = 3e-4
+    # "auto": natively-batched forward (fused-Pallas-capable) off-mesh,
+    # vmapped spmd_axis_name path under a mesh; True/False force it
+    native_batch: str | bool = "auto"

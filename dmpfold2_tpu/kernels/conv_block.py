@@ -43,8 +43,12 @@ def _perm_indices(c_out: int, pool: int):
     return idx
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, win_ref, sem, *, t_rows: int, l_cols: int,
-            c_in: int, c_out: int, pool: int):
+def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
+            c_in: int, c_out: int, pool: int, with_argmax: bool):
+    if with_argmax:
+        o_ref, idx_ref, win_ref, sem = refs
+    else:
+        o_ref, win_ref, sem = refs
     i = pl.program_id(0)
 
     dma = pltpu.make_async_copy(
@@ -67,9 +71,18 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, win_ref, sem, *, t_rows: int, l_cols: in
     # contiguous lane block (Mosaic cannot split the lane dim by reshape)
     group = c_out // pool
     out = acc[:, :group]
+    if with_argmax:
+        # which pool slice won, first-max-wins on ties (torch argmax order:
+        # slice p ascending corresponds to old channels g*pool + p ascending)
+        bidx = jnp.zeros((t_rows * l_cols, group), jnp.int32)
     for p_idx in range(1, pool):
-        out = jnp.maximum(out, acc[:, p_idx * group : (p_idx + 1) * group])
+        sl = acc[:, p_idx * group : (p_idx + 1) * group]
+        if with_argmax:
+            bidx = jnp.where(sl > out, p_idx, bidx)
+        out = jnp.maximum(out, sl)
     o_ref[:] = out.reshape(t_rows, l_cols, group).astype(o_ref.dtype)
+    if with_argmax:
+        idx_ref[:] = bidx.reshape(t_rows, l_cols, group)
 
 
 def _pick_band(l_cols: int, c_out: int) -> int:
@@ -88,14 +101,20 @@ def _divisor_band(tall: int, l_cols: int, c_out: int) -> int:
     return 1
 
 
-@partial(jax.jit, static_argnames=("pool", "interpret"))
-def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False):
+@partial(jax.jit, static_argnames=("pool", "interpret", "with_argmax"))
+def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False,
+                   with_argmax: bool = False):
     """Fused conv+bias+maxout: (B, L, L, C) x (5, 5, C, C*pool) -> (B, L, L, C/...).
 
     Batches are stacked into one tall image with the ±2 zero-pad rows between
     targets, which makes target boundaries exactly conv-boundary-equivalent —
     one kernel launch covers the whole batch (vmap cannot block an
     ANY-memory-space operand).
+
+    ``with_argmax``: also return the winning pool-slice index per output
+    element (int32, same shape as the output) — the residual the custom VJP
+    needs to route gradients through the maxout without recomputing the
+    4x-channel conv (see :func:`conv5x5_maxout_diff`).
     """
     batch, l_rows, l_cols, c_in = x.shape
     c_out = w.shape[-1]
@@ -120,18 +139,25 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False):
 
     t_rows = _divisor_band(tall, l_cols, c_out)
 
+    out_spec = pl.BlockSpec((t_rows, l_cols, group),
+                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((tall, l_cols, group), jnp.bfloat16)
+    if with_argmax:
+        out_spec = [out_spec, out_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((tall, l_cols, group), jnp.int32)]
+
     out = pl.pallas_call(
         partial(_kernel, t_rows=t_rows, l_cols=l_cols, c_in=c_in,
-                c_out=c_out, pool=pool),
+                c_out=c_out, pool=pool, with_argmax=with_argmax),
         grid=(tall // t_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # padded tall input, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],
-        out_specs=pl.BlockSpec((t_rows, l_cols, group),
-                               lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tall, l_cols, group), jnp.bfloat16),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((t_rows + 2 * PAD, l_cols + 2 * PAD + col_extra, c_in),
                        jnp.bfloat16),
@@ -140,4 +166,73 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False):
         interpret=interpret,
     )(x_tall, w.astype(jnp.bfloat16), b.astype(jnp.float32))
     # tall row k*stride + j is the conv output for target k's data row j
-    return out.reshape(batch, stride, l_cols, group)[:, :l_rows]
+    untall = lambda a: a.reshape(batch, stride, l_cols, group)[:, :l_rows]
+    if with_argmax:
+        return untall(out[0]), untall(out[1])
+    return untall(out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv5x5_maxout_diff(x, w, b, pool: int = 4, interpret: bool = False):
+    """Differentiable fused conv+bias+maxout.
+
+    Primal (inference, no grads requested): identical to
+    :func:`conv5x5_maxout` — same kernel, zero overhead. Under reverse-mode
+    AD the forward additionally emits the argmax pool index, and the backward
+    is hand-written XLA (reference semantics: torch routes the max gradient
+    to the first-argmax element, dmpfold/network.py:29-31):
+
+      * the cotangent is scattered into the 4x conv channels at the winning
+        pool slice (old torch channel layout c = g*pool + p),
+      * d/dx  = conv of the scattered cotangent with the spatially-flipped,
+        in/out-transposed weights,
+      * d/dw  = conv of the input with the cotangent via the batch<->feature
+        swap trick, accumulated in fp32,
+      * d/db  = spatial-and-batch sum.
+
+    This keeps the 4x-channel conv intermediate out of HBM in both passes —
+    under `jax.checkpoint` the recompute re-runs the fused kernel, and the
+    backward does exactly two MXU convs (dx, dw) plus a cheap scatter, versus
+    the unfused path's recomputed forward conv + two backward convs on a 4x
+    HBM-materialized tensor.
+    """
+    return conv5x5_maxout(x, w, b, pool, interpret=interpret)
+
+
+def _diff_fwd(x, w, b, pool, interpret):
+    out, idx = conv5x5_maxout(x, w, b, pool, interpret=interpret,
+                              with_argmax=True)
+    return out, (x, w, b, idx)
+
+
+def _diff_bwd(pool, interpret, res, g):
+    x, w, b, idx = res
+    c_out = w.shape[-1]
+    group = c_out // pool
+    # scatter the cotangent to the winning pool slice; reshaping the trailing
+    # (group, pool) pair lands value (g_idx, p) at old channel g_idx*pool + p
+    onehot = idx[..., None] == jnp.arange(pool, dtype=idx.dtype)
+    g4 = jnp.where(onehot, g[..., None].astype(jnp.float32), 0.0)
+    g4 = g4.reshape(*g.shape[:-1], c_out)
+    db = jnp.sum(g4, axis=(0, 1, 2))
+    g4 = g4.astype(jnp.bfloat16)
+
+    dims = ("NHWC", "HWIO", "NHWC")
+    pad = ((PAD, PAD), (PAD, PAD))
+    # dx: correlate the scattered cotangent with flipped, I/O-swapped weights
+    w_hat = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2)).astype(jnp.bfloat16)
+    dx = jax.lax.conv_general_dilated(
+        g4, w_hat, (1, 1), pad, dimension_numbers=dims,
+        preferred_element_type=jnp.float32)
+    # dw[ky,kx,ci,co] = sum_{b,y,x} x_pad[b,y+ky,x+kx,ci] * g4[b,y,x,co]:
+    # swap batch<->feature so the 5x5 kernel support becomes the conv output
+    xt = jnp.transpose(x.astype(jnp.bfloat16), (3, 1, 2, 0))  # (Cin, L, L, B)
+    gt = jnp.transpose(g4, (1, 2, 0, 3))                      # (L, L, B, Cout)
+    dw = jax.lax.conv_general_dilated(
+        xt, gt, (1, 1), pad, dimension_numbers=dims,
+        preferred_element_type=jnp.float32)                   # (Cin, 5, 5, Cout)
+    dw = jnp.transpose(dw, (1, 2, 0, 3))
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
+
+
+conv5x5_maxout_diff.defvjp(_diff_fwd, _diff_bwd)

@@ -126,30 +126,8 @@ def bigru_stack(layers, x, valid_len=None, *, dropout_rate: float = 0.0, rng=Non
     return out
 
 
-def unigru_stack_final(layers, x, valid_len=None):
-    """Fused multi-layer unidirectional GRU returning only the FINAL hidden
-    state of the last layer: (T, B, C) -> (B, H).
-
-    This is the vertical MSA reduction (reference: dmpfold/network.py:224-225
-    takes ``vgru(x)[0][-1]``). Fusing the layers into one scan avoids
-    materializing the (T, B, H) intermediate sequence — for a 3000-row MSA at
-    L=350 that's ~2 GB it never allocates. Layer 0's input projection is
-    still hoisted into one big matmul; deeper layers project their (B, H)
-    input per step (an MXU matmul batched over residue positions).
-    """
-    seq_len, batch, in_dim = x.shape
-    hidden = layers[0]["wh"].shape[0]
-    # hoist layer 0's input projection only when the (T, B, 3H) result is
-    # small enough to materialize (it is 14 GB at the long-target stress
-    # shape); otherwise project per-step inside the scan
-    hoist = seq_len * batch * 3 * hidden <= 2 ** 27
-    if hoist:
-        xs = jnp.einsum("tbc,ch->tbh", x, layers[0]["wi"]) + layers[0]["bi"]
-    else:
-        xs = x
-    t_idx = jnp.arange(seq_len)
-
-    h0 = tuple(jnp.zeros((batch, hidden), x.dtype) for _ in layers)
+def _unigru_step(layers, hidden, valid_len, hoisted: bool):
+    """Per-row update for the fused multi-layer unidirectional stack."""
 
     def step(hs, inp):
         t, x_t = inp
@@ -158,7 +136,7 @@ def unigru_stack_final(layers, x, valid_len=None):
         for layer_idx, p in enumerate(layers):
             h = hs[layer_idx]
             if layer_idx == 0:
-                xp = x_t if hoist else x_t @ p["wi"] + p["bi"]
+                xp = x_t if hoisted else x_t @ p["wi"] + p["bi"]
             else:
                 xp = layer_in @ p["wi"] + p["bi"]
             h_new = _gates(xp, h @ p["wh"] + p["bh"], h, hidden)
@@ -168,7 +146,66 @@ def unigru_stack_final(layers, x, valid_len=None):
             layer_in = h_new
         return tuple(new_hs), None
 
-    hs, _ = jax.lax.scan(step, h0, (t_idx, xs))
+    return step
+
+
+def unigru_stack_final(layers, x, valid_len=None, remat_chunk: int = 0):
+    """Fused multi-layer unidirectional GRU returning only the FINAL hidden
+    state of the last layer: (T, B, C) -> (B, H).
+
+    This is the vertical MSA reduction (reference: dmpfold/network.py:224-225
+    takes ``vgru(x)[0][-1]``). Fusing the layers into one scan avoids
+    materializing the (T, B, H) intermediate sequence — for a 3000-row MSA at
+    L=350 that's ~2 GB it never allocates. Layer 0's input projection is
+    still hoisted into one big matmul; deeper layers project their (B, H)
+    input per step (an MXU matmul batched over residue positions).
+
+    ``remat_chunk`` (training): checkpoint the scan in row-chunks of this
+    size — reverse-mode residuals shrink from O(T·B·H) (which OOMs a 16 GB
+    chip at the dataset's own 852-row cap, crop 350) to one chunk's worth
+    plus the chunk-boundary carries, for one extra forward recompute of
+    each chunk during backward.
+    """
+    seq_len, batch, in_dim = x.shape
+    hidden = layers[0]["wh"].shape[0]
+    h0 = tuple(jnp.zeros((batch, hidden), x.dtype) for _ in layers)
+
+    if remat_chunk and seq_len > remat_chunk:
+        pad = (-seq_len) % remat_chunk
+        if valid_len is None:
+            valid_len = seq_len  # freeze the state over padded rows
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        n_chunks = (seq_len + pad) // remat_chunk
+        xs_r = x.reshape(n_chunks, remat_chunk, batch, in_dim)
+        t_r = jnp.arange(n_chunks * remat_chunk).reshape(n_chunks, remat_chunk)
+
+        @jax.checkpoint
+        def seg(hs, inp):
+            ts, xc = inp
+            # hoist layer 0's projection per chunk (recomputed in backward,
+            # never held as a residual)
+            xpc = jnp.einsum("tbc,ch->tbh", xc, layers[0]["wi"]) + layers[0]["bi"]
+            hs, _ = jax.lax.scan(
+                _unigru_step(layers, hidden, valid_len, hoisted=True),
+                hs, (ts, xpc))
+            return hs, None
+
+        hs, _ = jax.lax.scan(seg, h0, (t_r, xs_r))
+        return hs[-1]
+
+    # hoist layer 0's input projection only when the (T, B, 3H) result is
+    # small enough to materialize (it is 14 GB at the long-target stress
+    # shape); otherwise project per-step inside the scan
+    hoist = seq_len * batch * 3 * hidden <= 2 ** 27
+    if hoist:
+        xs = jnp.einsum("tbc,ch->tbh", x, layers[0]["wi"]) + layers[0]["bi"]
+    else:
+        xs = x
+    t_idx = jnp.arange(seq_len)
+    hs, _ = jax.lax.scan(
+        _unigru_step(layers, hidden, valid_len, hoisted=hoist),
+        h0, (t_idx, xs))
     return hs[-1]
 
 

@@ -108,7 +108,10 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         seq_embed = vgru_final_pallas(params["vgru"], alnmat, nseqs)  # (L, 512)
     else:
         x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
-        seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs)
+        # training (remat): checkpoint the row scan in chunks — its
+        # residuals otherwise dominate training memory at deep-MSA crops
+        seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs,
+                                           remat_chunk=128 if remat else 0)
     hrng = rngs.get("hgru") if rngs else None
     mat1d = gru.bigru_stack(
         params["hgru"], seq_embed[:, None, :], nres,
@@ -179,6 +182,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
 
 
 def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
+                    rngs=None, remat: bool = False,
                     compute_dtype=None, fused_conv: bool = False,
                     canonical_signs: bool = True, refine_impl: str = "xla",
                     vgru_impl: str = "scan"):
@@ -190,6 +194,13 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     and which batches the GRU matmuls over B·L columns. Per-target sizes
     enter as (B,) vectors; masking semantics match the single-target path
     exactly (tested).
+
+    Training support mirrors :func:`forward`: ``rngs`` ({"hgru", "init",
+    "recycle"}) enables dropout (masks span the batch dim, so samples draw
+    independent masks), ``remat`` checkpoints the trunk blocks, and a static
+    int ``nloops`` switches recycling to a reverse-differentiable
+    ``lax.scan`` — this is what lets the bf16 training step run the fused
+    Pallas conv (kernels/conv_block.py has a custom VJP but no vmap rule).
     """
     batch, n_rows, l_pad = alnmat.shape
     row_mask = jnp.arange(l_pad)[None, :] < nres[:, None]           # (B, L)
@@ -207,20 +218,28 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     else:
         x = jnp.asarray(alnmat[..., None] == jnp.arange(NUM_AA_CLASSES), jnp.float32)
         x_cols = jnp.transpose(x, (1, 0, 2, 3)).reshape(n_rows, batch * l_pad, -1)
-        seq_embed = gru.unigru_stack_final(params["vgru"], x_cols, valid_len=col_valid)
+        seq_embed = gru.unigru_stack_final(params["vgru"], x_cols, valid_len=col_valid,
+                                           remat_chunk=128 if remat else 0)
     seq_embed = seq_embed.reshape(batch, l_pad, -1)                  # (B, L, 512)
 
     # --- horizontal biGRU over residues: batch dim = targets
+    hrng = rngs.get("hgru") if rngs else None
     hin = jnp.transpose(seq_embed, (1, 0, 2))                        # (L, B, 512)
-    mat1d = gru.bigru_stack(params["hgru"], hin, nres)
+    mat1d = gru.bigru_stack(params["hgru"], hin, nres,
+                            dropout_rate=0.1 if hrng is not None else 0.0,
+                            rng=hrng)
     mat1d = jnp.transpose(mat1d, (1, 0, 2)) * row_mask[..., None]    # (B, L, 512)
 
     pair = mat1d[:, :, None, :] * mat1d[:, None, :, :]               # (B, L, L, 512)
     resinp_base = jnp.concatenate([pair, x2[..., :-1]], axis=3)      # (B, L, L, 954)
 
-    def run_iteration(dmap_channel):
+    def run_iteration(dmap_channel, dropout_rng=None):
+        trunk_rng = coord_rng = None
+        if dropout_rng is not None:
+            trunk_rng, coord_rng = jax.random.split(dropout_rng)
         resinp = jnp.concatenate([resinp_base, dmap_channel[..., None]], axis=3)
         out = trunk_apply(params["trunk"], resinp, pair_mask[..., None],
+                          dropout_rng=trunk_rng, remat=remat,
                           compute_dtype=compute_dtype, fused_conv=fused_conv)
         dm = out[..., 0]
         conf = jnp.sum(out[..., 1] * row_mask[:, None, :], axis=2) / nres_f[:, None]
@@ -229,7 +248,8 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         )(dm, nres)                                                  # (B, L, 8)
         coordembed = jnp.concatenate([mat1d, mds], axis=2)
         gru_out = gru.bigru_stack(
-            params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)), nres
+            params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)), nres,
+            dropout_rate=0.1 if coord_rng is not None else 0.0, rng=coord_rng,
         )
         ca = jnp.transpose(gru_out, (1, 0, 2)) @ params["coord_fc"]  # (B, L, 3)
         return ca, conf
@@ -238,7 +258,8 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         lambda c, s, nr: refine_coords(c, s, nr, impl=refine_impl),
         in_axes=(0, None, 0))
 
-    ca_coords, conf = run_iteration(x2[..., -1])
+    rng0 = rngs.get("init") if rngs else None
+    ca_coords, conf = run_iteration(x2[..., -1], rng0)
     ca_coords = refine_b(ca_coords, refine_steps, nres)
     best_conf, best_coords = conf, ca_coords
     best_mean = jnp.sum(conf * row_mask, axis=1) / nres_f            # (B,)
@@ -248,7 +269,11 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         diffs = ca[:, :, None, :] - ca[:, None, :, :]
         dmap = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(diffs), axis=3), 1e-8))
         dmap = dmap * pair_mask
-        ca_new, conf_new = run_iteration(dmap)
+        if rngs and rngs.get("recycle") is not None:
+            it_rng = jax.random.fold_in(rngs["recycle"], i)
+        else:
+            it_rng = None
+        ca_new, conf_new = run_iteration(dmap, it_rng)
         mean_new = jnp.sum(conf_new * row_mask, axis=1) / nres_f
         better = mean_new > best_mean                                # (B,)
         return (
@@ -259,7 +284,14 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         )
 
     carry = (ca_coords, best_mean, best_conf, best_coords)
-    carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
+    if isinstance(nloops, int):
+        # static trip count: reverse-differentiable recycling (training)
+        if nloops > 0:
+            def scan_body(c, i):
+                return recycle_body(i, c), None
+            carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(nloops))
+    else:
+        carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
     _, _, best_conf, best_coords = carry
 
     best_coords = refine_b(best_coords, refine_steps, nres)

@@ -113,10 +113,13 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
         and compute_dtype == jnp.bfloat16 and _sharding_inactive()
     )
     if use_fused:
-        from ..kernels.conv_block import conv5x5_maxout
+        from ..kernels.conv_block import conv5x5_maxout_diff
 
-        out = conv5x5_maxout(x.astype(jnp.bfloat16), params["w"], params["b"],
-                             pool=pool)
+        # custom-VJP wrapper: identical kernel when no gradients are
+        # requested; differentiable (argmax-routed hand-written backward)
+        # so the bf16 training path can take the fused kernel too
+        out = conv5x5_maxout_diff(x.astype(jnp.bfloat16), params["w"],
+                                  params["b"], pool)
     else:
         out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
         b, h, w, c = out.shape

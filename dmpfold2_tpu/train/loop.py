@@ -103,6 +103,12 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
     val_data = DMPDataset(validation_list, data_dir, augment=False)
     rng = jax.random.PRNGKey(seed + 1)
 
+    # natively-batched forward off-mesh (enables the fused Pallas conv VJP
+    # under bf16 on TPU); vmapped spmd_axis_name path for mesh partitioning
+    native_batch = (mesh is None) if cfg.native_batch == "auto" else bool(cfg.native_batch)
+    fused_conv = (native_batch and precision == "bf16"
+                  and jax.default_backend() == "tpu")
+
     for epoch in range(start_epoch, start_epoch + num_epochs):
         t0 = time.time()
         py_rng = random.Random()  # fresh entropy per epoch (train.py:359)
@@ -117,6 +123,7 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             params, opt_state, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
                 nloops=nloops, refine_steps=refine_steps, precision=precision,
+                native_batch=native_batch, fused_conv=fused_conv,
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):
@@ -139,7 +146,8 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             _, _, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
                 nloops=2, refine_steps=refine_steps, train=False,
-                precision=precision,
+                precision=precision, native_batch=native_batch,
+                fused_conv=fused_conv,
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):

@@ -47,11 +47,14 @@ class TrainBatch(NamedTuple):
     nres: jax.Array     # (B,)
 
 
-def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
-                nloops: int, refine_steps: int = REFINE_STEPS,
-                teacher_prob: float = 0.5, noise_targets: bool = True,
-                dropout: bool = True, precision: str = "fp32"):
-    """Loss for one (padded) sample, differentiable through recycling+refinement."""
+def _prep_sample(alnmat, targets, nseqs, nres, rng, *,
+                 teacher_prob: float = 0.5, noise_targets: bool = True):
+    """Per-sample input prep: DCA features + teacher-forced dmap seed.
+
+    Returns (x2 (L, L, 443), targets (L, 5, 3), rng_drop). Shared by the
+    vmapped per-sample loss and the natively-batched loss so both paths make
+    bit-identical teacher-forcing decisions for the same per-sample rng.
+    """
     l_pad = alnmat.shape[1]
     row_mask = jnp.arange(l_pad) < nres
     pair_mask = row_mask[:, None] & row_mask[None, :]
@@ -79,6 +82,17 @@ def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
         )
 
     x2 = jnp.concatenate([dca, dmap_seed[:, :, None]], axis=2)
+    return x2, targets, rng_drop
+
+
+def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
+                nloops: int, refine_steps: int = REFINE_STEPS,
+                teacher_prob: float = 0.5, noise_targets: bool = True,
+                dropout: bool = True, precision: str = "fp32"):
+    """Loss for one (padded) sample, differentiable through recycling+refinement."""
+    x2, targets, rng_drop = _prep_sample(
+        alnmat, targets, nseqs, nres, rng,
+        teacher_prob=teacher_prob, noise_targets=noise_targets)
     rngs = None
     if dropout:
         rngs = {
@@ -94,6 +108,44 @@ def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
     return fold_loss(coords, confs, targets, nres)
 
 
+def batch_loss_native(params, batch: "TrainBatch", rngs, *,
+                      nloops: int, refine_steps: int = REFINE_STEPS,
+                      teacher_prob: float = 0.5, noise_targets: bool = True,
+                      dropout: bool = True, precision: str = "fp32",
+                      fused_conv: bool = False):
+    """Natively-batched micro-batch loss: one trunk conv per block for the
+    whole batch via :func:`gruresnet.forward_batched` — required to run the
+    fused Pallas conv (custom VJP, no vmap rule) in training. Per-sample
+    teacher-forcing decisions reuse :func:`_prep_sample` with the same
+    per-sample rngs as the vmapped path; dropout masks are drawn over the
+    whole batch (independent per sample, different bits from the vmapped
+    path — distributionally equivalent).
+
+    Returns (mean loss, metrics) like the vmapped path's reduction.
+    """
+    x2, targets, rng_drop = jax.vmap(
+        lambda a, t, ns, nr, r: _prep_sample(
+            a, t, ns, nr, r, teacher_prob=teacher_prob,
+            noise_targets=noise_targets)
+    )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)
+    drngs = None
+    if dropout:
+        base = rng_drop[0]
+        drngs = {
+            "hgru": jax.random.fold_in(base, 0),
+            "init": jax.random.fold_in(base, 1),
+            "recycle": jax.random.fold_in(base, 2),
+        }
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    coords, confs = gruresnet.forward_batched(
+        params, batch.alnmat, x2, batch.nseqs, batch.nres, nloops,
+        refine_steps, rngs=drngs, remat=True, compute_dtype=compute_dtype,
+        fused_conv=fused_conv,
+    )
+    losses, metrics = jax.vmap(fold_loss)(coords, confs, targets, batch.nres)
+    return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+
 def make_optimizer(learning_rate: float = 1e-4, accum_steps: int = 1):
     """Adam (reference lr: 1e-4 restart / 3e-4 scratch) with optional
     gradient accumulation replacing the reference's 32-sample python loop."""
@@ -104,15 +156,27 @@ def make_optimizer(learning_rate: float = 1e-4, accum_steps: int = 1):
 
 
 @partial(jax.jit, static_argnames=("optimizer", "nloops", "refine_steps", "train",
-                                   "precision"))
+                                   "precision", "native_batch", "fused_conv"))
 def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
                nloops: int, refine_steps: int = REFINE_STEPS, train: bool = True,
-               precision: str = "fp32"):
-    """One DP step over a padded micro-batch. Returns (params, opt_state, metrics)."""
+               precision: str = "fp32", native_batch: bool = False,
+               fused_conv: bool = False):
+    """One DP step over a padded micro-batch. Returns (params, opt_state, metrics).
+
+    ``native_batch`` uses the natively-batched forward (one trunk conv per
+    block for the whole micro-batch) instead of vmapping the per-sample
+    loss; with ``fused_conv`` (TPU + bf16) the trunk convs then run the
+    fused Pallas kernel through its custom VJP. The vmapped default keeps
+    GSPMD's per-sample ``spmd_axis_name`` partitioning for mesh training.
+    """
     batch_size = batch.alnmat.shape[0]
     rngs = jax.random.split(rng, batch_size)
 
     def batched_loss(p):
+        if native_batch:
+            return batch_loss_native(
+                p, batch, rngs, nloops=nloops, refine_steps=refine_steps,
+                dropout=train, precision=precision, fused_conv=fused_conv)
         losses, metrics = jax.vmap(
             lambda a, t, ns, nr, r: sample_loss(
                 p, a, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,

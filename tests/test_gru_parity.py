@@ -80,3 +80,32 @@ def test_masked_final_state_equals_truncated():
     xpad[:T] = x.numpy()
     padded = gru.unigru_stack_final(layers, jnp.asarray(xpad), valid_len=T)
     np.testing.assert_allclose(np.asarray(padded), np.asarray(base), atol=1e-6)
+
+
+def test_unigru_remat_chunk_matches_unchunked():
+    """Chunked-remat vgru scan: identical final state and gradients to the
+    plain scan (including a chunk-straddling valid_len and row padding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dmpfold2_tpu.models import gru
+
+    key = jax.random.PRNGKey(0)
+    layers = gru.unigru_stack_params(key, 2, 22, 32)
+    rng = np.random.default_rng(0)
+    t, b = 21, 6  # not a multiple of the chunk -> exercises padding
+    x = jnp.asarray(rng.normal(size=(t, b, 22)), jnp.float32)
+    for valid in (t, 13):  # full and mid-chunk freeze
+        def plain(ls):
+            return jnp.sum(gru.unigru_stack_final(ls, x, valid_len=valid) ** 2)
+
+        def chunked(ls):
+            return jnp.sum(gru.unigru_stack_final(
+                ls, x, valid_len=valid, remat_chunk=8) ** 2)
+
+        vp, gp = jax.value_and_grad(plain)(layers)
+        vc, gc = jax.value_and_grad(chunked)(layers)
+        np.testing.assert_allclose(float(vc), float(vp), rtol=1e-6)
+        for a, c in zip(jax.tree.leaves(gp), jax.tree.leaves(gc)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       atol=1e-6, err_msg=f"valid={valid}")

@@ -95,6 +95,84 @@ def test_fused_conv_maxout_matches_xla():
     )
 
 
+def test_fused_conv_diff_grads_match_xla():
+    """Hand-written VJP of the fused kernel vs jax.grad of the XLA reference
+    (conv+bias+maxout in the same bf16/fp32-accumulate policy)."""
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout_diff
+
+    rng = np.random.default_rng(4)
+    B, L, C, CO, pool = 2, 16, 8, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, L, L, CO // pool)), jnp.float32)
+
+    def fused_loss(x, w, b):
+        out = conv5x5_maxout_diff(x, w, b, pool, True)  # interpret mode
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def ref_conv(x, w, b):
+        # kernel math emulated in differentiable jnp: bf16-quantized
+        # operands, fp32 accumulation — so maxout winners agree with the
+        # kernel except at exact near-ties (masked below)
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.bfloat16).astype(jnp.float32),
+            (1, 1), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+    def ref_loss(x, w, b):
+        out = ref_conv(x, w, b).reshape(B, L, L, CO // pool, pool).max(-1)
+        return jnp.sum(out * cot)
+
+    vf, gf = jax.value_and_grad(fused_loss, (0, 1, 2))(x, w, b)
+    vr, gr = jax.value_and_grad(ref_loss, (0, 1, 2))(x, w, b)
+    assert abs(float(vf) - float(vr)) < 0.5
+
+    # positions whose top-2 maxout margin is below bf16 resolution can route
+    # the gradient to a different (equally correct) winner — exclude them
+    grouped = np.asarray(ref_conv(x, w, b)).reshape(B, L, L, CO // pool, pool)
+    top2 = np.sort(grouped, axis=-1)[..., -2:]
+    margin_ok = (top2[..., 1] - top2[..., 0]) > 0.02
+    np.testing.assert_array_less(0.97, margin_ok.mean())  # sanity: mostly clean
+
+    for got, want, name, tol in zip(gf, gr, "xwb", (0.3, 0.5, 0.05)):
+        got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+        if name != "x":
+            # dw/db only see tie flips through the scatter; compare directly
+            scale = max(np.abs(want).max(), 1.0)
+            np.testing.assert_allclose(got / scale, want / scale,
+                                       atol=tol / scale, err_msg=f"d{name}")
+    # dx: compare where no near-tie touches the receptive field
+    dxf, dxr = np.asarray(gf[0], np.float32), np.asarray(gr[0], np.float32)
+    bad = ~margin_ok.all(axis=-1)  # (B, L, L) any unclear group at this pixel
+    pad = np.pad(bad, ((0, 0), (2, 2), (2, 2)), constant_values=False)
+    dil = np.zeros_like(bad)
+    for dy in range(5):
+        for dx_ in range(5):
+            dil |= pad[:, dy : dy + L, dx_ : dx_ + L]
+    clean = ~dil
+    scale = max(np.abs(dxr).max(), 1.0)
+    np.testing.assert_allclose(dxf[clean] / scale, dxr[clean] / scale,
+                               atol=0.3 / scale, err_msg="dx")
+
+
+def test_fused_conv_diff_primal_identical():
+    """Without differentiation the custom-VJP wrapper must run the plain
+    kernel: bit-identical outputs, no argmax side output."""
+    from dmpfold2_tpu.kernels.conv_block import (conv5x5_maxout,
+                                                 conv5x5_maxout_diff)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(5, 5, 8, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    a = conv5x5_maxout(x, w, b, 4, interpret=True)
+    c = conv5x5_maxout_diff(x, w, b, 4, True)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(c, np.float32))
+
+
 def test_fused_conv_in_trunk_interpret(monkeypatch):
     """maxout2d(fused_conv=True) must agree with the XLA path (bf16 scale)."""
     import dmpfold2_tpu.kernels.conv_block as cb
@@ -103,7 +181,7 @@ def test_fused_conv_in_trunk_interpret(monkeypatch):
     orig = cb.conv5x5_maxout
     monkeypatch.setattr(
         cb, "conv5x5_maxout",
-        lambda x, w, b, pool=4: orig(x, w, b, pool=pool, interpret=True),
+        lambda x, w, b, pool=4, **kw: orig(x, w, b, pool=pool, **{**kw, "interpret": True}),
     )
     rng = np.random.default_rng(3)
     params = T.maxout_params(jax.random.PRNGKey(0), 8, 8, pool=4, ksize=5)

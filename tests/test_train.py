@@ -184,3 +184,54 @@ def test_train_step_skips_nonfinite_grads(tiny_setup):
     assert float(metrics["skipped"]) == 1.0
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)):
         assert np.isfinite(np.asarray(b)).all()
+
+
+def test_native_batch_matches_vmapped(tiny_setup):
+    """The natively-batched training path (forward_batched + vmapped loss)
+    must agree with the vmapped per-sample path: identical teacher-forcing
+    decisions (shared per-sample rngs), same loss and same gradients with
+    dropout off (dropout bits differ by construction)."""
+    from dmpfold2_tpu.train.step import batch_loss_native
+
+    params, batch = tiny_setup
+    rngs = jax.random.split(jax.random.PRNGKey(7), batch.alnmat.shape[0])
+
+    def vmapped(p):
+        losses, _ = jax.vmap(
+            lambda a, t, ns, nr, r: sample_loss(
+                p, a, t, ns, nr, r, nloops=1, refine_steps=3, dropout=False)
+        )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)
+        return jnp.mean(losses)
+
+    def native(p):
+        loss, _ = batch_loss_native(
+            p, batch, rngs, nloops=1, refine_steps=3, dropout=False)
+        return loss
+
+    lv, gv = jax.value_and_grad(vmapped)(params)
+    ln, gn = jax.value_and_grad(native)(params)
+    np.testing.assert_allclose(float(ln), float(lv), rtol=1e-5)
+    flat_v, _ = jax.flatten_util.ravel_pytree(gv)
+    flat_n, _ = jax.flatten_util.ravel_pytree(gn)
+    scale = float(jnp.abs(flat_v).max())
+    np.testing.assert_allclose(np.asarray(flat_n) / scale,
+                               np.asarray(flat_v) / scale, atol=2e-4)
+
+
+def test_train_step_native_batch(tiny_setup):
+    """native_batch=True drives a full optimizer step (dropout on) without
+    NaNs and actually updates parameters."""
+    params, batch = tiny_setup
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    new_params, _, metrics = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(3),
+        optimizer=opt, nloops=2, refine_steps=2, native_batch=True,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped"]) == 0.0
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
+    )
+    assert changed
