@@ -6,9 +6,14 @@ capability:
 
   * targets are grouped by (nseqs, nres) shape bucket,
   * each group is packed into fixed-size batches,
-  * one vmapped+jitted program per bucket folds a whole batch, with the
-    batch dim sharded over the mesh's ``data`` axis (GSPMD; per-chip work is
-    independent, no cross-chip traffic except the initial scatter/gather),
+  * one jitted program per bucket folds a whole batch with the natively
+    batched forward (one trunk conv / GRU matmul per step for the whole
+    batch, Pallas kernels on TPU). Under a mesh the same body runs inside
+    ``jax.shard_map`` over the ``data`` axis — each device folds its local
+    batch shard; mapping the *program* rather than the operator keeps the
+    Pallas kernels (which have no GSPMD partitioning rule) on the fast path,
+    and per-chip work is independent: no cross-chip traffic except the
+    input scatter / output gather,
   * partial batches are padded by repeating the last target and dropped on
     the way out.
 
@@ -45,12 +50,14 @@ from ..models import gruresnet
 from ..utils.obs import Counters, log_target
 
 
-@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "batched_impl", "refine_impl"))
-def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
-                dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                fused_conv=False, batched_impl=False, refine_impl="xla"):
-    """Batched fold: (B, N, L) -> ((B, L, 5, 3), (B, L))."""
+def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
+                      refine_steps, *, dca_method="cholesky", precision="fp32",
+                      vgru_impl="scan", fused_conv=False, batched_impl=False,
+                      refine_impl="xla"):
+    """Batched fold body: (B, N, L) -> ((B, L, 5, 3), (B, L)). Pure function
+    of per-device-visible data — used directly under ``jit`` (single device /
+    GSPMD) and as the per-shard body under ``shard_map`` (see
+    :func:`_fold_batch_shardmap`)."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
     def features(aln, ns, nr, dmap):
@@ -79,6 +86,49 @@ def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
     return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres, dmap_channel)
 
 
+@partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
+                                   "fused_conv", "batched_impl", "refine_impl"))
+def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
+                dca_method="cholesky", precision="fp32", vgru_impl="scan",
+                fused_conv=False, batched_impl=False, refine_impl="xla"):
+    return _fold_batch_local(
+        params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
+        dca_method=dca_method, precision=precision, vgru_impl=vgru_impl,
+        fused_conv=fused_conv, batched_impl=batched_impl,
+        refine_impl=refine_impl)
+
+
+_SHARDMAP_CACHE: dict = {}
+
+
+def _fold_batch_shardmap(mesh, **statics):
+    """jitted shard_map fold over the mesh's ``data`` axis.
+
+    Targets are embarrassingly parallel, so instead of relying on GSPMD to
+    partition a vmapped program, each device runs the full natively-batched
+    fold — Pallas kernels included — on its local batch shard. This is the
+    TPU idiom for 'the kernel has no vmap/GSPMD partitioning rule': map the
+    *program*, not the operator. Weights and trip counts are replicated
+    (in_spec ``P()``), batch-dim inputs and both outputs shard over 'data'.
+    No collectives run inside the fold (targets independent); the only
+    cross-device traffic is the input scatter / output gather.
+    """
+    key = (mesh, tuple(sorted(statics.items())))
+    fn = _SHARDMAP_CACHE.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+
+        body = partial(_fold_batch_local, **statics)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        ))
+        _SHARDMAP_CACHE[key] = fn
+    return fn
+
+
 @dataclass
 class Target:
     alnmat: np.ndarray
@@ -96,9 +146,9 @@ class BatchFolder:
     dca_method: str = "cholesky"
     # "auto": the per-column-valid Pallas kernel serves the WHOLE batch in
     # one invocation on the natively-batched TPU path (columns = B*L).
-    # Under a mesh (vmapped GSPMD path) vmap would serialize the kernel's
-    # grid, so the vmapped lax.scan — which batches each step's matmuls —
-    # stays the right call there.
+    # Under a mesh the fold runs via shard_map, so each device still runs
+    # the natively-batched program — Pallas kernels included — on its
+    # local batch shard.
     vgru_impl: str = "auto"
     verbose: bool = False          # per-target JSON logs (utils.obs)
     counters: Counters = field(default_factory=Counters)
@@ -111,24 +161,15 @@ class BatchFolder:
     def _vgru_impl(self) -> str:
         if self.vgru_impl != "auto":
             return self.vgru_impl
-        if self._batched_impl() and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":
             return "pallas"
         return "scan"
 
-    def _batched_impl(self) -> bool:
-        # the natively-batched forward runs one trunk conv for the whole
-        # batch; with a mesh we keep the vmapped path (spmd_axis_name gives
-        # GSPMD clean per-target DP partitioning)
-        return self.mesh is None
-
     def _fused_conv(self) -> bool:
-        return (self.precision == "bf16" and self._batched_impl()
-                and jax.default_backend() == "tpu")
+        return self.precision == "bf16" and jax.default_backend() == "tpu"
 
     def _refine_impl(self) -> str:
-        # fused refinement kernel: single-device batched path only (a Pallas
-        # grid can't be GSPMD-partitioned over the mesh's data axis)
-        if self._batched_impl() and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":
             return "pallas"
         return "xla"
 
@@ -216,17 +257,25 @@ class BatchFolder:
                             jnp.asarray(nres_b), jnp.asarray(dmap_b))
                 params = self.params
 
+                statics = dict(
+                    dca_method=self.dca_method, precision=self.precision,
+                    vgru_impl=self._vgru_impl(),
+                    fused_conv=self._fused_conv(),
+                    batched_impl=True,
+                    refine_impl=self._refine_impl(),
+                )
                 t_start = time.perf_counter()
                 try:
-                    coords, confs = _fold_batch(
-                        params, *args, jnp.asarray(max(iterations, 0)),
-                        jnp.asarray(max(minsteps, 0)),
-                        dca_method=self.dca_method, precision=self.precision,
-                        vgru_impl=self._vgru_impl(),
-                        fused_conv=self._fused_conv(),
-                        batched_impl=self._batched_impl(),
-                        refine_impl=self._refine_impl(),
-                    )
+                    trip = (jnp.asarray(max(iterations, 0)),
+                            jnp.asarray(max(minsteps, 0)))
+                    if self.mesh is not None:
+                        # shard_map: map the natively-batched *program* over
+                        # the data axis so Pallas kernels run per-shard
+                        coords, confs = _fold_batch_shardmap(
+                            self.mesh, **statics)(params, *args, *trip)
+                    else:
+                        coords, confs = _fold_batch(params, *args, *trip,
+                                                    **statics)
                     if self.mesh is not None and jax.process_count() > 1:
                         # all-gather the (small) outputs over ICI so every
                         # host can fetch every target's result
