@@ -120,9 +120,11 @@ class Folder:
             return self.vgru_impl
         return "pallas" if jax.default_backend() == "tpu" else "scan"
 
-    def _fused_conv(self) -> bool:
-        # Pallas fused conv+maxout: bf16 policy on TPU only
-        return self.precision == "bf16" and jax.default_backend() == "tpu"
+    def _fused_conv(self):
+        # Pallas fused conv+maxout+InstanceNorm ("norm"): bf16 on TPU only
+        if self.precision == "bf16" and jax.default_backend() == "tpu":
+            return "norm"
+        return False
 
     def _refine_impl(self) -> str:
         # fused VMEM-resident refinement loop on TPU (kernels/refine.py)

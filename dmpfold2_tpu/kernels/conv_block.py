@@ -44,8 +44,13 @@ def _perm_indices(c_out: int, pool: int):
 
 
 def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
-            c_in: int, c_out: int, pool: int, with_argmax: bool):
-    if with_argmax:
+            c_in: int, c_out: int, pool: int, with_argmax: bool,
+            with_stats: bool):
+    if with_stats:
+        nr_ref, j0_ref = refs[:2]
+        refs = refs[2:]
+        o_ref, stat_ref, win_ref, sem = refs
+    elif with_argmax:
         o_ref, idx_ref, win_ref, sem = refs
     else:
         o_ref, win_ref, sem = refs
@@ -83,6 +88,23 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
     o_ref[:] = out.reshape(t_rows, l_cols, group).astype(o_ref.dtype)
     if with_argmax:
         idx_ref[:] = bidx.reshape(t_rows, l_cols, group)
+    if with_stats:
+        # masked InstanceNorm partial sums over this band (bands are
+        # target-aligned: t_rows | stride, enforced by the wrapper). Valid
+        # region is the square [0, nr)²; output tall row j0+rr is data row
+        # j0+rr of its target.
+        nr = nr_ref[i]
+        shape3 = (t_rows, l_cols, group)
+        row_j = j0_ref[i] + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+        valid = (row_j < nr) & (col < nr)
+        masked = jnp.where(valid, out.reshape(shape3), 0.0)
+        s = jnp.sum(masked, axis=(0, 1))[None]
+        ss = jnp.sum(masked * masked, axis=(0, 1))[None]
+        # stats block is (1, 8, C) to satisfy the (8, 128) fp32 tile rule:
+        # row 0 = sum, row 1 = sum of squares, rows 2-7 unused
+        stat_ref[0] = jnp.concatenate(
+            [s, ss, jnp.zeros((6, group), jnp.float32)], axis=0)
 
 
 def _pick_band(l_cols: int, c_out: int) -> int:
@@ -101,9 +123,11 @@ def _divisor_band(tall: int, l_cols: int, c_out: int) -> int:
     return 1
 
 
-@partial(jax.jit, static_argnames=("pool", "interpret", "with_argmax"))
-def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False,
-                   with_argmax: bool = False):
+@partial(jax.jit, static_argnames=("pool", "interpret", "with_argmax",
+                                   "with_stats"))
+def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
+                   interpret: bool = False, with_argmax: bool = False,
+                   with_stats: bool = False):
     """Fused conv+bias+maxout: (B, L, L, C) x (5, 5, C, C*pool) -> (B, L, L, C/...).
 
     Batches are stacked into one tall image with the ±2 zero-pad rows between
@@ -115,7 +139,18 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False,
     element (int32, same shape as the output) — the residual the custom VJP
     needs to route gradients through the maxout without recomputing the
     4x-channel conv (see :func:`conv5x5_maxout_diff`).
+
+    ``with_stats``: additionally return per-target masked InstanceNorm
+    partial sums (sum, sum-of-squares per output channel, fp32) computed in
+    the kernel epilogue over the valid [0, nres)² region — this removes the
+    separate full-map statistics read from every trunk block (the stats
+    never re-touch HBM). Requires ``nres`` (B,) int32 true sizes; bands are
+    chosen to divide the per-target row stride so no band crosses a target
+    boundary. Returns ``(out, sums, sumsqs)`` with sums/sumsqs (B, C/pool).
+    Mutually exclusive with ``with_argmax`` (stats serve the inference
+    path; training differentiates the unfused norm).
     """
+    assert not (with_argmax and with_stats)
     batch, l_rows, l_cols, c_in = x.shape
     c_out = w.shape[-1]
     group = c_out // pool
@@ -137,25 +172,51 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False,
     # 2*PAD extra zero rows so the last band's window stays in bounds
     x_tall = jnp.pad(x_tall, ((0, 2 * PAD), (0, 0), (0, 0)))
 
-    t_rows = _divisor_band(tall, l_cols, c_out)
+    if with_stats:
+        # bands must not cross target boundaries: pick t_rows | stride
+        t_rows = _divisor_band(stride, l_cols, c_out)
+    else:
+        t_rows = _divisor_band(tall, l_cols, c_out)
+    n_bands = tall // t_rows
 
     out_spec = pl.BlockSpec((t_rows, l_cols, group),
                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((tall, l_cols, group), jnp.bfloat16)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # padded tall input, HBM
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+    ]
+    operands = [x_tall, w.astype(jnp.bfloat16), b.astype(jnp.float32)]
     if with_argmax:
         out_spec = [out_spec, out_spec]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((tall, l_cols, group), jnp.int32)]
+    elif with_stats:
+        if nres is None:
+            nres = jnp.full((batch,), l_rows, jnp.int32)
+        band_starts = jnp.arange(n_bands, dtype=jnp.int32) * t_rows
+        nr_band = jnp.asarray(nres, jnp.int32)[band_starts // stride]
+        j0_band = band_starts % stride
+        # whole arrays in SMEM, indexed by program id (Mosaic requires
+        # rank-1 blocks to cover the array or tile by 128)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands += [nr_band, j0_band]
+        stat_spec = pl.BlockSpec((1, 8, group), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((n_bands, 8, group), jnp.float32)
+        out_spec = [out_spec, stat_spec]
+        out_shape = [out_shape, stat_shape]
 
     out = pl.pallas_call(
         partial(_kernel, t_rows=t_rows, l_cols=l_cols, c_in=c_in,
-                c_out=c_out, pool=pool, with_argmax=with_argmax),
-        grid=(tall // t_rows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # padded tall input, HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-        ],
+                c_out=c_out, pool=pool, with_argmax=with_argmax,
+                with_stats=with_stats),
+        grid=(n_bands,),
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
@@ -164,12 +225,54 @@ def conv5x5_maxout(x, w, b, pool: int = 4, *, interpret: bool = False,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_tall, w.astype(jnp.bfloat16), b.astype(jnp.float32))
+    )(*operands)
     # tall row k*stride + j is the conv output for target k's data row j
     untall = lambda a: a.reshape(batch, stride, l_cols, group)[:, :l_rows]
     if with_argmax:
         return untall(out[0]), untall(out[1])
+    if with_stats:
+        bands_per = stride // t_rows
+        stats = out[1].reshape(batch, bands_per, 8, group).sum(axis=1)
+        return untall(out[0]), stats[:, 0], stats[:, 1]
     return untall(out)
+
+
+@partial(jax.jit, static_argnames=("pool", "interpret"))
+def conv5x5_maxout_norm(x, w, b, gamma, beta, pool: int = 4, nres=None,
+                        mask=None, *, eps: float = 1e-5,
+                        interpret: bool = False):
+    """Fully fused trunk-block front half: conv5x5 + bias + maxout +
+    masked InstanceNorm (SURVEY §7 kernel plan (b); reference semantics
+    dmpfold/network.py:17-31 + 19's InstanceNorm2d(affine)).
+
+    The 4x-channel conv intermediate stays in VMEM (as in
+    :func:`conv5x5_maxout`) and the norm statistics are computed in the
+    kernel epilogue, so the conv output is read back from HBM exactly once
+    (for the scale/shift application, which XLA fuses with the downstream
+    SE/residual elementwise chain) instead of twice. Inference-only: the
+    training path differentiates the unfused masked_instance_norm.
+
+    Variance uses E[x²]−E[x]² on fp32 partials — post-maxout activations are
+    O(1), so cancellation is negligible (validated against the two-pass norm
+    in tests).
+    """
+    out, s, ss = conv5x5_maxout(x, w, b, pool, nres, interpret=interpret,
+                                with_stats=True)
+    batch, l_rows = x.shape[0], x.shape[1]
+    if nres is None:
+        count = jnp.full((batch, 1), float(l_rows * l_rows), jnp.float32)
+    else:
+        nr_f = jnp.asarray(nres, jnp.float32)[:, None]
+        count = jnp.maximum(nr_f * nr_f, 1.0)
+    mean = s / count
+    var = jnp.maximum(ss / count - mean * mean, 0.0)
+    scale = (gamma * jax.lax.rsqrt(var + eps)).astype(jnp.float32)
+    shift = beta - mean * scale
+    y = (out.astype(jnp.float32) * scale[:, None, None, :]
+         + shift[:, None, None, :])
+    if mask is not None:
+        y = y * mask
+    return y.astype(out.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

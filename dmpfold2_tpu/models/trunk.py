@@ -112,6 +112,17 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
         fused_conv and ksize == KSIZE_FUSED and dilation == 1
         and compute_dtype == jnp.bfloat16 and _sharding_inactive()
     )
+    if use_fused and fused_conv == "norm":
+        # inference-only fully-fused path: conv+bias+maxout+InstanceNorm in
+        # one kernel (stats computed in the epilogue, one HBM round-trip
+        # fewer per block); output is already normalized, masked and bf16
+        from ..kernels.conv_block import conv5x5_maxout_norm
+
+        nres = (mask[:, :, 0, 0].sum(axis=1).astype(jnp.int32)
+                if mask is not None else None)
+        return conv5x5_maxout_norm(x.astype(jnp.bfloat16), params["w"],
+                                   params["b"], params["gamma"],
+                                   params["beta"], pool, nres, mask)
     if use_fused:
         from ..kernels.conv_block import conv5x5_maxout_diff
 

@@ -165,8 +165,11 @@ class BatchFolder:
             return "pallas"
         return "scan"
 
-    def _fused_conv(self) -> bool:
-        return self.precision == "bf16" and jax.default_backend() == "tpu"
+    def _fused_conv(self):
+        # "norm" = fully-fused conv+bias+maxout+InstanceNorm (inference)
+        if self.precision == "bf16" and jax.default_backend() == "tpu":
+            return "norm"
+        return False
 
     def _refine_impl(self) -> str:
         if jax.default_backend() == "tpu":

@@ -173,6 +173,71 @@ def test_fused_conv_diff_primal_identical():
                                   np.asarray(c, np.float32))
 
 
+def test_fused_conv_norm_matches_two_pass():
+    """conv5x5_maxout_norm (in-kernel masked stats) vs the two-pass
+    conv+maxout+masked_instance_norm reference at mixed per-target nres."""
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout_norm
+    from dmpfold2_tpu.ops.norm import masked_instance_norm
+
+    rng = np.random.default_rng(7)
+    B, L, C, CO = 3, 20, 8, 32
+    nres = jnp.asarray([20, 13, 7], jnp.int32)
+    mask = ((jnp.arange(L)[None, :, None] < nres[:, None, None])
+            & (jnp.arange(L)[None, None, :] < nres[:, None, None]))
+    mask = mask[..., None].astype(jnp.float32)
+    x = (jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.float32)
+         * mask).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(CO // 4,)) * 0.5 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(CO // 4,)) * 0.3, jnp.float32)
+
+    out = conv5x5_maxout_norm(x, w, b, gamma, beta, 4, nres, mask,
+                              interpret=True)
+
+    conv = jax.lax.conv_general_dilated(
+        x, w.astype(jnp.bfloat16), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.bfloat16,
+    ) + b.astype(jnp.bfloat16)
+    mx = conv.reshape(B, L, L, CO // 4, 4).max(-1)
+    ref = masked_instance_norm(mx, gamma, beta, mask)
+    # bf16 conv rounding differs slightly between the kernel (fp32 acc,
+    # single bf16 round) and XLA's bf16-output conv; normalized scale is O(1)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=0.1)
+    # padding must stay exactly zero
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32) * (1 - np.asarray(mask[..., 0]))[..., None],
+        0.0)
+
+
+def test_fused_conv_norm_in_trunk_interpret(monkeypatch):
+    """maxout2d(fused_conv="norm") must agree with the unfused masked path."""
+    import dmpfold2_tpu.kernels.conv_block as cb
+    from dmpfold2_tpu.models import trunk as T
+
+    orig = cb.conv5x5_maxout_norm
+    monkeypatch.setattr(
+        cb, "conv5x5_maxout_norm",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(9)
+    params = T.maxout_params(jax.random.PRNGKey(1), 8, 8, pool=4, ksize=5)
+    B, L = 2, 16
+    nres = jnp.asarray([16, 11], jnp.int32)
+    mask = ((jnp.arange(L)[None, :, None] < nres[:, None, None])
+            & (jnp.arange(L)[None, None, :] < nres[:, None, None]))
+    mask = mask[..., None].astype(jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, L, L, 8)), jnp.float32) * mask
+    ref = T.maxout2d(params, x, pool=4, mask=mask, compute_dtype=jnp.bfloat16)
+    out = T.maxout2d(params, x, pool=4, mask=mask, compute_dtype=jnp.bfloat16,
+                     fused_conv="norm")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.1
+    )
+
+
 def test_fused_conv_in_trunk_interpret(monkeypatch):
     """maxout2d(fused_conv=True) must agree with the XLA path (bf16 scale)."""
     import dmpfold2_tpu.kernels.conv_block as cb
