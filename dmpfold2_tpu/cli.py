@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="compute policy (default fp32; bf16 runs the "
                              "trunk on the MXU in bfloat16)")
     parser.add_argument("--dca-method", dest="dca_method", type=str, default=None,
-                        choices=["cholesky", "lu", "blocked"],
+                        choices=["auto", "cholesky", "lu", "schur", "blocked"],
                         help="DCA covariance inverse algorithm")
     return parser
 

@@ -21,7 +21,7 @@ class FoldConfig:
 
     # TPU-native knobs
     precision: str = "fp32"          # "bf16": trunk convs on the MXU in bf16
-    dca_method: str = "cholesky"     # "lu" | "cholesky" | "blocked"
+    dca_method: str = "auto"         # "lu" | "cholesky" | "schur" | "blocked"
     use_buckets: bool = True
     vgru_impl: str = "auto"          # "pallas" | "scan" | "auto"
     batch_size: int | None = None    # BatchFolder micro-batch per step

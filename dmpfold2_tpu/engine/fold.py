@@ -85,7 +85,7 @@ class Folder:
 
     params: dict
     use_buckets: bool = True
-    dca_method: str = "cholesky"
+    dca_method: str = "auto"  # "lu" | "cholesky" | "schur" | "blocked"
     precision: str = "fp32"   # "bf16" | "fp32" | "fp32_strict" (bit-fidelity)
     vgru_impl: str = "auto"   # "pallas" on TPU, "scan" elsewhere
 
@@ -106,7 +106,7 @@ class Folder:
         coords, confs = _fold_device(
             self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
-            dca_method=self.dca_method, precision=self.precision,
+            dca_method=self._dca_method(), precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
             refine_impl=self._refine_impl(),
         )
@@ -119,6 +119,16 @@ class Folder:
         if self.vgru_impl != "auto":
             return self.vgru_impl
         return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    def _dca_method(self) -> str:
+        if self.dca_method != "auto":
+            return self.dca_method
+        # recursive Schur inverse keeps the (21L)² inverse on the MXU
+        # (ops/chol.py:schur_spd_inverse; matches the Cholesky inverse to
+        # ~1e-6); fidelity mode keeps the Cholesky path
+        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
+            return "schur"
+        return "cholesky"
 
     def _fused_conv(self):
         # Pallas fused conv+maxout+InstanceNorm ("norm"): bf16 on TPU only

@@ -143,7 +143,7 @@ class BatchFolder:
     mesh: jax.sharding.Mesh | None = None
     batch_size: int | None = None  # default: number of data-axis shards
     precision: str = "fp32"
-    dca_method: str = "cholesky"
+    dca_method: str = "auto"  # "lu" | "cholesky" | "schur" | "blocked"
     # "auto": the per-column-valid Pallas kernel serves the WHOLE batch in
     # one invocation on the natively-batched TPU path (columns = B*L).
     # Under a mesh the fold runs via shard_map, so each device still runs
@@ -164,6 +164,14 @@ class BatchFolder:
         if jax.default_backend() == "tpu":
             return "pallas"
         return "scan"
+
+    def _dca_method(self) -> str:
+        if self.dca_method != "auto":
+            return self.dca_method
+        # MXU-resident recursive Schur inverse (see engine.fold.Folder)
+        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
+            return "schur"
+        return "cholesky"
 
     def _fused_conv(self):
         # "norm" = fully-fused conv+bias+maxout+InstanceNorm (inference)
@@ -261,7 +269,7 @@ class BatchFolder:
                 params = self.params
 
                 statics = dict(
-                    dca_method=self.dca_method, precision=self.precision,
+                    dca_method=self._dca_method(), precision=self.precision,
                     vgru_impl=self._vgru_impl(),
                     fused_conv=self._fused_conv(),
                     batched_impl=True,
