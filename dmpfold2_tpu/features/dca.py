@@ -34,7 +34,7 @@ def _spd_inverse(mat, method: str):
     if method == "lu":
         return jnp.linalg.inv(mat)
     if method == "blocked" or (
-        method in ("cholesky", "schur") and mat.shape[-1] > _blocked_threshold()
+        method == "cholesky" and mat.shape[-1] > _blocked_threshold()
     ):
         # stock XLA linalg unrolls into >60 GB of temporaries at the
         # long-target size — use the memory-bounded blocked algorithm
@@ -43,7 +43,10 @@ def _spd_inverse(mat, method: str):
         return blocked_spd_inverse(mat)
     if method == "schur":
         # recursive block inverse: all O(n³) work on the MXU (~3× faster
-        # than cholesky+triangular_solve at the (21L)² DCA sizes on TPU)
+        # than cholesky+triangular_solve at the (21L)² DCA sizes on TPU).
+        # Safe at the 16128² stress size too: its stock-linalg leaves stay
+        # ≤504 wide, and peak temporaries are a few half-size blocks
+        # (~2 GB), not the >60 GB the stock lowering needs.
         from ..ops.chol import schur_spd_inverse
 
         return schur_spd_inverse(mat)

@@ -256,6 +256,27 @@ def conv5x5_maxout_norm(x, w, b, gamma, beta, pool: int = 4, nres=None,
     O(1), so cancellation is negligible (validated against the two-pass norm
     in tests).
     """
+    out, scale, shift = conv5x5_maxout_stats(x, w, b, gamma, beta, pool, nres,
+                                             eps=eps, interpret=interpret)
+    y = (out.astype(jnp.float32) * scale[:, None, None, :]
+         + shift[:, None, None, :])
+    if mask is not None:
+        y = y * mask
+    return y.astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("pool", "interpret"))
+def conv5x5_maxout_stats(x, w, b, gamma, beta, pool: int = 4, nres=None, *,
+                         eps: float = 1e-5, interpret: bool = False):
+    """Like :func:`conv5x5_maxout_norm` but returns the RAW conv+maxout
+    output plus the per-target affine ``(scale, shift)`` (both (B, C))
+    that normalizes it, without applying them.
+
+    This lets the caller defer the normalization into downstream consumers
+    — e.g. absorb scale/shift into the SE block's 1×1 conv weights and the
+    final gating elementwise — so the normalized tensor never materializes
+    in HBM (models/trunk.py:resnet_block fused path).
+    """
     out, s, ss = conv5x5_maxout(x, w, b, pool, nres, interpret=interpret,
                                 with_stats=True)
     batch, l_rows = x.shape[0], x.shape[1]
@@ -268,11 +289,7 @@ def conv5x5_maxout_norm(x, w, b, gamma, beta, pool: int = 4, nres=None,
     var = jnp.maximum(ss / count - mean * mean, 0.0)
     scale = (gamma * jax.lax.rsqrt(var + eps)).astype(jnp.float32)
     shift = beta - mean * scale
-    y = (out.astype(jnp.float32) * scale[:, None, None, :]
-         + shift[:, None, None, :])
-    if mask is not None:
-        y = y * mask
-    return y.astype(out.dtype)
+    return out, scale, shift
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -191,10 +191,52 @@ def block_params(key, width: int, ksize: int, block_idx: int):
     }
 
 
+def _resnet_block_fused_norm(params, x, mask):
+    """Fully-fused inference block: Pallas conv+maxout with in-kernel norm
+    statistics, then ONE fused elementwise pass applying normalization,
+    SCSE gating, residual add and mask.
+
+    The normalized activation never materializes in HBM: the InstanceNorm's
+    per-target (scale, shift) are absorbed into the sSE 1×1 conv weights
+    (y·w = z·(scale·w) + shift·w, so the conv reads the RAW maxout output)
+    and re-applied inline inside the gating expression, which XLA fuses
+    with the residual and mask into a single read of (z, sse map, x) and
+    one write. cSE uses the constant-beta gate (see :func:`scse`).
+    """
+    mp, sp = params["maxout"], params["scse"]
+    nres = (mask[:, :, 0, 0].sum(axis=1).astype(jnp.int32)
+            if mask is not None else None)
+    from ..kernels.conv_block import conv5x5_maxout_stats
+
+    z, scale, shift = conv5x5_maxout_stats(
+        x.astype(jnp.bfloat16), mp["w"], mp["b"], mp["gamma"], mp["beta"],
+        4, nres)
+    # constant cSE gate: the pooled mean of the normalized output is beta
+    pooled = mp["beta"].astype(jnp.float32)[None, :]
+    g = jax.nn.sigmoid(jax.nn.relu(pooled @ sp["cse_w1"]) @ sp["cse_w2"])
+    # sSE on the raw output with absorbed scale/shift
+    w_sse = sp["sse_w"][0, 0, :, 0]                            # (C,)
+    w_eff = (scale * w_sse[None, :]).astype(jnp.bfloat16)      # (B, C)
+    s_bias = shift @ w_sse + sp["sse_b"][0]                    # (B,)
+    s = jnp.einsum("bhwc,bc->bhw", z, w_eff,
+                   preferred_element_type=jnp.float32) + s_bias[:, None, None]
+    gate = g[:, None, None, :] + jax.nn.sigmoid(s)[..., None]
+    y = (z.astype(jnp.float32) * scale[:, None, None, :]
+         + shift[:, None, None, :])
+    out = (y * gate + x.astype(jnp.float32)).astype(x.dtype)
+    if mask is not None:
+        out = out * mask
+    return out
+
+
 def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
                  dropout_rate: float = 0.2, compute_dtype=None,
                  fused_conv: bool = False):
     """Residual block (reference: dmpfold/network.py:85-103)."""
+    if (fused_conv == "norm" and dropout_rng is None and dilation == 1
+            and params["maxout"]["w"].shape[0] == KSIZE_FUSED
+            and compute_dtype == jnp.bfloat16 and _sharding_inactive()):
+        return _resnet_block_fused_norm(params, x, mask)
     out = x
     if dropout_rng is not None and dropout_rate > 0.0:
         r1, r2 = jax.random.split(dropout_rng)

@@ -238,6 +238,38 @@ def test_fused_conv_norm_in_trunk_interpret(monkeypatch):
     )
 
 
+def test_fused_norm_resnet_block_interpret(monkeypatch):
+    """resnet_block(fused_conv="norm") — the fully-fused block where the
+    InstanceNorm scale/shift are absorbed into the sSE conv and re-applied
+    inline — must agree with the unfused masked block path."""
+    import dmpfold2_tpu.kernels.conv_block as cb
+    from dmpfold2_tpu.models import trunk as T
+
+    orig = cb.conv5x5_maxout
+    monkeypatch.setattr(
+        cb, "conv5x5_maxout",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(11)
+    params = T.block_params(jax.random.PRNGKey(4), 16, 5, 1)
+    B, L = 2, 16
+    nres = jnp.asarray([16, 10], jnp.int32)
+    mask = ((jnp.arange(L)[None, :, None] < nres[:, None, None])
+            & (jnp.arange(L)[None, None, :] < nres[:, None, None]))
+    mask = mask[..., None].astype(jnp.float32)
+    x = (jnp.asarray(rng.normal(size=(B, L, L, 16)), jnp.float32)
+         * mask).astype(jnp.bfloat16)
+    ref = T.resnet_block(params, x, mask, compute_dtype=jnp.bfloat16)
+    out = T.resnet_block(params, x, mask, compute_dtype=jnp.bfloat16,
+                         fused_conv="norm")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.1
+    )
+    # padding must stay exactly zero
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32) * (1 - np.asarray(mask)), 0.0)
+
+
 def test_fused_conv_in_trunk_interpret(monkeypatch):
     """maxout2d(fused_conv=True) must agree with the XLA path (bf16 scale)."""
     import dmpfold2_tpu.kernels.conv_block as cb
