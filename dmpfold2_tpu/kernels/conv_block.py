@@ -7,11 +7,14 @@ over a VMEM-resident row band and folds the bias add + maxout reduction into
 the epilogue, so the 4x-channel conv intermediate never touches HBM.
 
 Layout: grid over row bands of T rows; each step DMAs a (T+4)-row window of
-the zero-padded input from HBM, then accumulates
+the zero-padded input from HBM, compacts it into 5 dx-shifted 8-aligned 2D
+buffers (5 relayout copies — v1 did 25 unaligned tile slices instead, which
+cost ~40% of its runtime on the VPU), then accumulates
 
-    acc[t*L + c, :] = sum_{dy,dx} x_pad[t+dy, c+dx, :] @ W[dy, dx]
+    acc[t*L + c, :] = sum_{dy,dx} shifted[dx][(t+dy)*L + c, :] @ W[dy, dx]
 
-in fp32, applies bias, maxes over the 4 pool groups and writes bf16.
+in fp32 via free 8-aligned row slices, applies bias, maxes over the 4 pool
+groups and writes bf16.
 
 Used only for the bf16 compute policy; correctness-tested against the XLA
 path in interpret mode and benchmarked on hardware before being enabled.
@@ -43,17 +46,20 @@ def _perm_indices(c_out: int, pool: int):
     return idx
 
 
-def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
+def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
             c_in: int, c_out: int, pool: int, with_argmax: bool,
             with_stats: bool):
     if with_stats:
         nr_ref, j0_ref = refs[:2]
         refs = refs[2:]
-        o_ref, stat_ref, win_ref, sem = refs
+        o_ref, stat_ref, win_ref, sem = refs[:4]
+        sh_refs = refs[4:]
     elif with_argmax:
-        o_ref, idx_ref, win_ref, sem = refs
+        o_ref, idx_ref, win_ref, sem = refs[:4]
+        sh_refs = refs[4:]
     else:
-        o_ref, win_ref, sem = refs
+        o_ref, win_ref, sem = refs[:3]
+        sh_refs = refs[3:]
     i = pl.program_id(0)
 
     dma = pltpu.make_async_copy(
@@ -62,15 +68,23 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
     dma.start()
     dma.wait()
 
-    acc = jnp.zeros((t_rows * l_cols, c_out), jnp.float32)
+    # Compact the window into ONE wide dx-interleaved 2D buffer: flat row
+    # (r*l_al + c), lane block [dx*c_in, (dx+1)*c_in) holds window element
+    # (r, c + dx). Because l_al is a multiple of 8, every dy-tile below is
+    # an 8-aligned row slice — a free view — and the dx dimension is folded
+    # into the matmul contraction (K = KSIZE*c_in): 5 MXU dots per band
+    # instead of 25, so the fp32 accumulator is revisited 5x less.
+    win_rows = t_rows + 2 * PAD
+    (sh_ref,) = sh_refs
+    for dx in range(KSIZE):
+        sh_ref[:, dx * c_in : (dx + 1) * c_in] = win_ref[
+            :, dx : dx + l_al, :].reshape(win_rows * l_al, c_in)
+
+    acc = jnp.zeros((t_rows * l_al, c_out), jnp.float32)
     for dy in range(KSIZE):
-        for dx in range(KSIZE):
-            tile = win_ref[dy : dy + t_rows, dx : dx + l_cols, :]
-            acc = acc + jnp.dot(
-                tile.reshape(t_rows * l_cols, c_in),
-                w_ref[dy, dx],
-                preferred_element_type=jnp.float32,
-            )
+        tile = sh_ref[pl.ds(dy * l_al, t_rows * l_al), :]
+        acc = acc + jnp.dot(tile, w_ref[dy],
+                            preferred_element_type=jnp.float32)
     acc = acc + b_ref[:]
     # maxout: the wrapper permutes output channels so each pool group is a
     # contiguous lane block (Mosaic cannot split the lane dim by reshape)
@@ -79,26 +93,27 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
     if with_argmax:
         # which pool slice won, first-max-wins on ties (torch argmax order:
         # slice p ascending corresponds to old channels g*pool + p ascending)
-        bidx = jnp.zeros((t_rows * l_cols, group), jnp.int32)
+        bidx = jnp.zeros((t_rows * l_al, group), jnp.int32)
     for p_idx in range(1, pool):
         sl = acc[:, p_idx * group : (p_idx + 1) * group]
         if with_argmax:
             bidx = jnp.where(sl > out, p_idx, bidx)
         out = jnp.maximum(out, sl)
-    o_ref[:] = out.reshape(t_rows, l_cols, group).astype(o_ref.dtype)
+    out3 = out.reshape(t_rows, l_al, group)
+    o_ref[:] = out3[:, :l_cols].astype(o_ref.dtype)
     if with_argmax:
-        idx_ref[:] = bidx.reshape(t_rows, l_cols, group)
+        idx_ref[:] = bidx.reshape(t_rows, l_al, group)[:, :l_cols]
     if with_stats:
         # masked InstanceNorm partial sums over this band (bands are
         # target-aligned: t_rows | stride, enforced by the wrapper). Valid
         # region is the square [0, nr)²; output tall row j0+rr is data row
-        # j0+rr of its target.
+        # j0+rr of its target. Cols >= l_cols (alignment pad) have col >= nr.
         nr = nr_ref[i]
-        shape3 = (t_rows, l_cols, group)
+        shape3 = (t_rows, l_al, group)
         row_j = j0_ref[i] + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
         valid = (row_j < nr) & (col < nr)
-        masked = jnp.where(valid, out.reshape(shape3), 0.0)
+        masked = jnp.where(valid, out3, 0.0)
         s = jnp.sum(masked, axis=(0, 1))[None]
         ss = jnp.sum(masked * masked, axis=(0, 1))[None]
         # stats block is (1, 8, C) to satisfy the (8, 128) fp32 tile rule:
@@ -107,10 +122,18 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int,
             [s, ss, jnp.zeros((6, group), jnp.float32)], axis=0)
 
 
-def _pick_band(l_cols: int, c_out: int) -> int:
-    # keep the fp32 accumulator (T*L*c_out*4B) within ~4 MB of VMEM
-    for t in (16, 8, 4, 2, 1):
-        if l_cols * t * c_out * 4 <= 4 * 2 ** 20:
+def _pick_band(l_cols: int, c_out: int, c_in: int = 128) -> int:
+    # budget by total VMEM: fp32 accumulator + window + KSIZE shifted
+    # bf16 buffers + weights + output band, within ~12 MB of the 16 MB VMEM
+    l_al = -(-l_cols // 8) * 8
+    w_win = -(-(l_al + 2 * PAD) // 8) * 8
+    weights = KSIZE * KSIZE * c_in * c_out * 2
+    for t in (20, 16, 10, 8, 5, 4, 2, 1):
+        acc = t * l_al * c_out * 4
+        win = (t + 2 * PAD) * w_win * c_in * 2
+        shifted = KSIZE * (t + 2 * PAD) * l_al * c_in * 2
+        out = t * l_cols * (c_out // 4) * 4  # bf16 out + int32 argmax worst case
+        if acc + win + shifted + weights + out <= 12 * 2 ** 20:
             return t
     return 1
 
@@ -160,15 +183,19 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
     perm = _perm_indices(c_out, pool)
     w = w[..., perm]
     b = b[perm]
+    # fold dx into the contraction dim: (dy, dx, ci, co) -> (dy, dx*ci, co)
+    # matching the kernel's dx-interleaved lane blocks
+    w = w.reshape(KSIZE, KSIZE * c_in, c_out)
 
-    # Mosaic requires sliced sublane dims 8-aligned: pad the column dim of
-    # the window to a multiple of 8
-    col_extra = (-(l_cols + 2 * PAD)) % 8
+    # l_al: the dx-shifted buffers' width, 8-aligned so dy row-slices of
+    # their 2D views are free; the window must fit dx + l_al columns
+    l_al = -(-l_cols // 8) * 8
+    w_win = -(-(l_al + 2 * PAD) // 8) * 8
     x_pad = jnp.pad(x.astype(jnp.bfloat16),
-                    ((0, 0), (PAD, PAD), (PAD, PAD + col_extra), (0, 0)))
+                    ((0, 0), (PAD, PAD), (PAD, w_win - PAD - l_cols), (0, 0)))
     stride = l_rows + 2 * PAD
     tall = batch * stride
-    x_tall = x_pad.reshape(tall, l_cols + 2 * PAD + col_extra, c_in)
+    x_tall = x_pad.reshape(tall, w_win, c_in)
     # 2*PAD extra zero rows so the last band's window stays in bounds
     x_tall = jnp.pad(x_tall, ((0, 2 * PAD), (0, 0), (0, 0)))
 
@@ -212,7 +239,7 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
         out_shape = [out_shape, stat_shape]
 
     out = pl.pallas_call(
-        partial(_kernel, t_rows=t_rows, l_cols=l_cols, c_in=c_in,
+        partial(_kernel, t_rows=t_rows, l_cols=l_cols, l_al=l_al, c_in=c_in,
                 c_out=c_out, pool=pool, with_argmax=with_argmax,
                 with_stats=with_stats),
         grid=(n_bands,),
@@ -220,9 +247,11 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((t_rows + 2 * PAD, l_cols + 2 * PAD + col_extra, c_in),
-                       jnp.bfloat16),
+            pltpu.VMEM((t_rows + 2 * PAD, w_win, c_in), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
+        ] + [
+            pltpu.VMEM(((t_rows + 2 * PAD) * l_al, KSIZE * c_in),
+                       jnp.bfloat16),
         ],
         interpret=interpret,
     )(*operands)
