@@ -32,10 +32,10 @@ DEFAULT_MINSTEPS = FoldConfig.minsteps
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "refine_impl"))
+                                   "fused_conv", "refine_impl", "rgru_impl"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                  dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                 fused_conv=False, refine_impl="xla"):
+                 fused_conv=False, refine_impl="xla", rgru_impl="scan"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
@@ -49,7 +49,7 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
                                  refine_steps, compute_dtype=compute_dtype,
                                  vgru_impl=vgru_impl, fused_conv=fused_conv,
                                  canonical_signs=(precision != "fp32_strict"),
-                                 refine_impl=refine_impl)
+                                 refine_impl=refine_impl, rgru_impl=rgru_impl)
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -108,7 +108,7 @@ class Folder:
             jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
             dca_method=self._dca_method(), precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
-            refine_impl=self._refine_impl(),
+            refine_impl=self._refine_impl(), rgru_impl=self._rgru_impl(),
         )
         # one host fetch for both outputs (each np.asarray is a separate
         # round trip on remote-device transports)
@@ -139,6 +139,13 @@ class Folder:
     def _refine_impl(self) -> str:
         # fused VMEM-resident refinement loop on TPU (kernels/refine.py)
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def _rgru_impl(self) -> str:
+        # fused residue-GRU sequence kernel (kernels/rgru.py); fp32_strict
+        # keeps the scan (reference-matmul-order fidelity)
+        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
+            return "pallas"
+        return "scan"
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.

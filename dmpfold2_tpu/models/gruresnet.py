@@ -66,21 +66,34 @@ def _trunk_heads(params, resinp, nres, pair_mask, row_mask, *, dropout_rng=None,
     return TrunkHeads(dm, conf)
 
 
+def _bigru(layers, x, valid_len, rng, rgru_impl: str):
+    """biGRU impl dispatch: Pallas sequence kernel (inference) or lax.scan.
+
+    The Pallas path (kernels/rgru.py) has no dropout/VJP, so any time a
+    dropout rng is present (training) the scan runs regardless of policy.
+    """
+    if rgru_impl == "pallas" and rng is None:
+        from ..kernels.rgru import bigru_stack_pallas
+
+        return bigru_stack_pallas(layers, x, valid_len)
+    return gru.bigru_stack(layers, x, valid_len,
+                           dropout_rate=0.1 if rng is not None else 0.0, rng=rng)
+
+
 def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None,
-                 canonical_signs: bool = True):
+                 canonical_signs: bool = True, rgru_impl: str = "scan"):
     mds = mds_coords(dm, nres, canonical_signs=canonical_signs)
     coordembed = jnp.concatenate([mat1d, mds], axis=1)  # (L, 520)
-    gru_out = gru.bigru_stack(
-        params["coord_gru"], coordembed[:, None, :], valid_len,
-        dropout_rate=0.1 if dropout_rng is not None else 0.0, rng=dropout_rng,
-    )[:, 0, :]
+    gru_out = _bigru(params["coord_gru"], coordembed[:, None, :], valid_len,
+                     dropout_rng, rgru_impl)[:, 0, :]
     return gru_out @ params["coord_fc"]  # (L, 3)
 
 
 def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
             vgru_impl: str = "scan", fused_conv: bool = False,
-            canonical_signs: bool = True, refine_impl: str = "xla"):
+            canonical_signs: bool = True, refine_impl: str = "xla",
+            rgru_impl: str = "scan"):
     """Run the full network.
 
     Args:
@@ -113,10 +126,8 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         seq_embed = gru.unigru_stack_final(params["vgru"], x, valid_len=nseqs,
                                            remat_chunk=128 if remat else 0)
     hrng = rngs.get("hgru") if rngs else None
-    mat1d = gru.bigru_stack(
-        params["hgru"], seq_embed[:, None, :], nres,
-        dropout_rate=0.1 if hrng is not None else 0.0, rng=hrng,
-    )[:, 0, :]
+    mat1d = _bigru(params["hgru"], seq_embed[:, None, :], nres,
+                   hrng, rgru_impl)[:, 0, :]
     mat1d = mat1d * row_mask[:, None]
 
     pair = mat1d[:, None, :] * mat1d[None, :, :]  # (L, L, 512)
@@ -134,7 +145,8 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                              compute_dtype=compute_dtype, fused_conv=fused_conv)
         ca = _coords_head(params, mat1d, heads.dm, nres, nres,
                           dropout_rng=coord_rng,
-                          canonical_signs=canonical_signs)
+                          canonical_signs=canonical_signs,
+                          rgru_impl=rgru_impl)
         return ca, heads.conf
 
     # --- initial pass: dmap channel from x2 (template distances or -1 fill)
@@ -185,7 +197,7 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                     rngs=None, remat: bool = False,
                     compute_dtype=None, fused_conv: bool = False,
                     canonical_signs: bool = True, refine_impl: str = "xla",
-                    vgru_impl: str = "scan"):
+                    vgru_impl: str = "scan", rgru_impl: str = "scan"):
     """Natively-batched forward: (B, N, L) alignments -> ((B, L, 5, 3), (B, L)).
 
     Equivalent to ``vmap(forward)`` but the trunk runs on the whole stacked
@@ -225,9 +237,7 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     # --- horizontal biGRU over residues: batch dim = targets
     hrng = rngs.get("hgru") if rngs else None
     hin = jnp.transpose(seq_embed, (1, 0, 2))                        # (L, B, 512)
-    mat1d = gru.bigru_stack(params["hgru"], hin, nres,
-                            dropout_rate=0.1 if hrng is not None else 0.0,
-                            rng=hrng)
+    mat1d = _bigru(params["hgru"], hin, nres, hrng, rgru_impl)
     mat1d = jnp.transpose(mat1d, (1, 0, 2)) * row_mask[..., None]    # (B, L, 512)
 
     pair = mat1d[:, :, None, :] * mat1d[:, None, :, :]               # (B, L, L, 512)
@@ -247,10 +257,8 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             lambda d, nr: mds_coords(d, nr, canonical_signs=canonical_signs)
         )(dm, nres)                                                  # (B, L, 8)
         coordembed = jnp.concatenate([mat1d, mds], axis=2)
-        gru_out = gru.bigru_stack(
-            params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)), nres,
-            dropout_rate=0.1 if coord_rng is not None else 0.0, rng=coord_rng,
-        )
+        gru_out = _bigru(params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)),
+                         nres, coord_rng, rgru_impl)
         ca = jnp.transpose(gru_out, (1, 0, 2)) @ params["coord_fc"]  # (B, L, 3)
         return ca, conf
 

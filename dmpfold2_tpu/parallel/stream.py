@@ -53,7 +53,7 @@ from ..utils.obs import Counters, log_target
 def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
                       refine_steps, *, dca_method="cholesky", precision="fp32",
                       vgru_impl="scan", fused_conv=False, batched_impl=False,
-                      refine_impl="xla"):
+                      refine_impl="xla", rgru_impl="scan"):
     """Batched fold body: (B, N, L) -> ((B, L, 5, 3), (B, L)). Pure function
     of per-device-visible data — used directly under ``jit`` (single device /
     GSPMD) and as the per-shard body under ``shard_map`` (see
@@ -74,7 +74,7 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
         return gruresnet.forward_batched(
             params, alnmat, x2, nseqs, nres, nloops, refine_steps,
             compute_dtype=compute_dtype, fused_conv=fused_conv,
-            refine_impl=refine_impl, vgru_impl=vgru_impl,
+            refine_impl=refine_impl, vgru_impl=vgru_impl, rgru_impl=rgru_impl,
         )
 
     def one(aln, ns, nr, dmap):
@@ -83,19 +83,25 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
                                  compute_dtype=compute_dtype, vgru_impl=vgru_impl,
                                  fused_conv=fused_conv)
 
+    # note: the vmapped fallback keeps rgru_impl="scan" — the Pallas sequence
+    # kernel has no batching rule; the natively-batched path above is the one
+    # that benefits (kernel batch dim = targets)
+
     return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres, dmap_channel)
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "batched_impl", "refine_impl"))
+                                   "fused_conv", "batched_impl", "refine_impl",
+                                   "rgru_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                fused_conv=False, batched_impl=False, refine_impl="xla"):
+                fused_conv=False, batched_impl=False, refine_impl="xla",
+                rgru_impl="scan"):
     return _fold_batch_local(
         params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         dca_method=dca_method, precision=precision, vgru_impl=vgru_impl,
         fused_conv=fused_conv, batched_impl=batched_impl,
-        refine_impl=refine_impl)
+        refine_impl=refine_impl, rgru_impl=rgru_impl)
 
 
 _SHARDMAP_CACHE: dict = {}
@@ -183,6 +189,12 @@ class BatchFolder:
         if jax.default_backend() == "tpu":
             return "pallas"
         return "xla"
+
+    def _rgru_impl(self) -> str:
+        # fused residue-GRU sequence kernel (kernels/rgru.py)
+        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
+            return "pallas"
+        return "scan"
 
     def global_counters(self) -> Counters:
         """Cluster-wide throughput: per-process counters summed across hosts.
@@ -274,6 +286,7 @@ class BatchFolder:
                     fused_conv=self._fused_conv(),
                     batched_impl=True,
                     refine_impl=self._refine_impl(),
+                    rgru_impl=self._rgru_impl(),
                 )
                 t_start = time.perf_counter()
                 try:

@@ -74,6 +74,55 @@ def test_vgru_cols_kernel_matches_batched_forward(layers):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_rgru_kernel_matches_scan_per_column_valid():
+    """Residue-GRU sequence kernel vs lax.scan: batched, per-target lengths,
+    both directions (forward freeze / reverse zero masking)."""
+    from dmpfold2_tpu.kernels.rgru import bigru_stack_pallas
+
+    key = jax.random.PRNGKey(2)
+    T, B, C, H = 23, 5, 40, 128
+    stack = gru.bigru_stack_params(key, 3, C, H)
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, C), jnp.float32)
+    valid = jnp.asarray([23, 17, 1, 9, 23], jnp.int32)
+    ref = gru.bigru_stack(stack, x, valid)
+    out = bigru_stack_pallas(stack, x, valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rgru_kernel_single_target_scalar_valid():
+    from dmpfold2_tpu.kernels.rgru import bigru_stack_pallas
+
+    key = jax.random.PRNGKey(4)
+    stack = gru.bigru_stack_params(key, 2, 12, 128)
+    x = jax.random.normal(jax.random.PRNGKey(5), (19, 1, 12), jnp.float32)
+    ref = gru.bigru_stack(stack, x, 13)
+    out = bigru_stack_pallas(stack, x, 13, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rgru_in_forward_interpret(monkeypatch):
+    """forward(rgru_impl="pallas") must match the scan path end-to-end."""
+    import dmpfold2_tpu.kernels.rgru as rgru_mod
+    from dmpfold2_tpu.models import gruresnet
+
+    orig = rgru_mod.gru_seq_pallas
+    monkeypatch.setattr(
+        rgru_mod, "gru_seq_pallas",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(13)
+    params = gruresnet.init_params(jax.random.PRNGKey(6), width=32, cwidth=16,
+                                   num_blocks=2)
+    n, l = 12, 16
+    alnmat = jnp.asarray(rng.integers(0, 22, (n, l)), jnp.int32)
+    x2 = jnp.asarray(rng.normal(size=(l, l, 443)).astype(np.float32) * 0.1)
+    args = (params, alnmat, x2, 12, 14, 1, 5)
+    ref = gruresnet.forward(*args)
+    out = gruresnet.forward(*args, rgru_impl="pallas")
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=2e-4)
+
+
 def test_fused_conv_maxout_matches_xla():
     from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
 
