@@ -225,10 +225,23 @@ class BatchFolder:
                         dca_method=self.dca_method)
         return folder.fold(target.alnmat, target.template_ca, iterations, minsteps)
 
+    # how many batches may be in flight at once: depth 2 overlaps host-side
+    # padding + H2D upload of batch k+1 with device compute of batch k (JAX
+    # dispatch is async; only the result fetch blocks). Deeper queues buy
+    # nothing on one core and hold more input buffers live in HBM.
+    max_inflight: int = 2
+
     def fold_many(self, targets: Sequence[Target], iterations: int = 10,
                   minsteps: int = 100):
         """Fold all targets; returns results in input order as
-        [(coords (nres,5,3), confs (nres,))]."""
+        [(coords (nres,5,3), confs (nres,))].
+
+        Batches are pipelined: each is dispatched asynchronously and retired
+        (fetched) up to ``max_inflight`` batches later, so feature padding
+        and input upload for the next batch hide under the device's current
+        fold. Multi-process callers stay in lockstep because every process
+        walks the same deterministic work list with the same window policy.
+        """
         n_data = max(self._n_data(), 1)
         batch = self.batch_size or n_data
         # the batch dim shards over 'data': keep it a multiple of the axis
@@ -245,103 +258,130 @@ class BatchFolder:
             # safe: each host contributes its local devices' copies)
             self.params = put_global(self.params, replicated(self.mesh))
 
+        statics = dict(
+            dca_method=self._dca_method(), precision=self.precision,
+            vgru_impl=self._vgru_impl(),
+            fused_conv=self._fused_conv(),
+            batched_impl=True,
+            refine_impl=self._refine_impl(),
+            rgru_impl=self._rgru_impl(),
+        )
+        trip = (jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)))
+
         results: list = [None] * len(targets)
-        for (n_pad, l_pad), idxs in groups.items():
+
+        def dispatch(bucket, chunk):
+            """Pad + upload one batch and launch the fold (does not block)."""
+            n_pad, l_pad = bucket
+            # partial chunks pad to the full batch size (shape-stable: one
+            # compiled program per bucket; batch is already a data-axis
+            # multiple)
+            pad_to = batch
+            take = list(chunk) + [chunk[-1]] * (pad_to - len(chunk))
+
+            aln_b = np.zeros((pad_to, n_pad, l_pad), np.int32)
+            dmap_b = np.zeros((pad_to, l_pad, l_pad), np.float32)
+            nseqs_b = np.zeros((pad_to,), np.int32)
+            nres_b = np.zeros((pad_to,), np.int32)
+            for bi, ti in enumerate(take):
+                t = targets[ti]
+                ns, nr = t.alnmat.shape
+                aln_b[bi, :ns, :nr] = t.alnmat
+                dmap_b[bi] = _build_dmap_channel(l_pad, nr, t.template_ca)
+                nseqs_b[bi], nres_b[bi] = ns, nr
+
+            owned = None
+            if self.mesh is not None:
+                args = tuple(
+                    put_global(x, data_sharded(self.mesh, x.ndim))
+                    for x in (aln_b, nseqs_b, nres_b, dmap_b)
+                )
+                if jax.process_count() > 1:
+                    owned = owned_batch_indices(
+                        data_sharded(self.mesh, 1), (pad_to,))
+            else:
+                args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
+                        jnp.asarray(nres_b), jnp.asarray(dmap_b))
+
+            if self.mesh is not None:
+                # shard_map: map the natively-batched *program* over the
+                # data axis so Pallas kernels run per-shard
+                coords, confs = _fold_batch_shardmap(
+                    self.mesh, **statics)(self.params, *args, *trip)
+            else:
+                coords, confs = _fold_batch(self.params, *args, *trip,
+                                            **statics)
+            if self.mesh is not None and jax.process_count() > 1:
+                # all-gather the (small) outputs over ICI so every host can
+                # fetch every target's result
+                coords, confs = replicate_result(self.mesh, (coords, confs))
+            return dict(bucket=bucket, chunk=chunk, pad_to=pad_to,
+                        nseqs_b=nseqs_b, nres_b=nres_b, owned=owned,
+                        coords=coords, confs=confs,
+                        t_start=time.perf_counter())
+
+        def requeue(bucket, chunk, owned, exc):
+            """A whole batch failed (e.g. OOM at this bucket) — retry each
+            target alone so one bad target can't sink its batchmates;
+            individual failures are skipped + logged (the reference's
+            inline-skip strategy, train.py:81-84)."""
+            log_target("batch_failed", 0, 0, bucket, 0.0,
+                       None, event="batch_error", error=str(exc)[:200])
+            for bi, ti in enumerate(chunk):
+                try:
+                    results[ti] = self._fold_single(
+                        targets[ti], iterations, minsteps)
+                    if owned is None or bi in owned:
+                        self.counters.record(results[ti][0].shape[0])
+                except Exception as exc2:
+                    results[ti] = None
+                    log_target(f"target[{ti}]", *targets[ti].alnmat.shape,
+                               None, 0.0, None, event="target_error",
+                               error=str(exc2)[:200])
+
+        def retire(rec):
+            """Block on one in-flight batch and scatter its results."""
+            try:
+                coords, confs = jax.device_get((rec["coords"], rec["confs"]))
+            except Exception as exc:  # failure tolerance: requeue singly
+                requeue(rec["bucket"], rec["chunk"], rec["owned"], exc)
+                return
+            elapsed = time.perf_counter() - rec["t_start"]
+            pad_to, nres_b, nseqs_b = rec["pad_to"], rec["nres_b"], rec["nseqs_b"]
+            for bi, ti in enumerate(rec["chunk"]):
+                nr = int(nres_b[bi])
+                results[ti] = (coords[bi, :nr], confs[bi, :nr])
+                # multi-process: count only targets computed on THIS
+                # process's devices (global totals via global_counters)
+                if rec["owned"] is None or bi in rec["owned"]:
+                    self.counters.record(nr)
+                if self.verbose:
+                    # per-target time = batch wall-clock / device batch
+                    # size; under pipelining this spans dispatch->fetch (may
+                    # include queue wait); the first batch of a bucket
+                    # includes XLA compilation (batch_seconds lets readers
+                    # filter)
+                    log_target(
+                        f"target[{ti}]", int(nseqs_b[bi]), nr,
+                        rec["bucket"], elapsed / pad_to,
+                        float(confs[bi, :nr].mean()),
+                        batch_seconds=round(elapsed, 4),
+                        batch_size=pad_to,
+                    )
+
+        inflight: list = []
+        for bucket, idxs in groups.items():
             for start in range(0, len(idxs), batch):
                 chunk = idxs[start : start + batch]
-                # partial chunks pad to the full batch size (shape-stable:
-                # one compiled program per bucket; batch is already a
-                # data-axis multiple)
-                pad_to = batch
-                take = list(chunk) + [chunk[-1]] * (pad_to - len(chunk))
-
-                aln_b = np.zeros((pad_to, n_pad, l_pad), np.int32)
-                dmap_b = np.zeros((pad_to, l_pad, l_pad), np.float32)
-                nseqs_b = np.zeros((pad_to,), np.int32)
-                nres_b = np.zeros((pad_to,), np.int32)
-                for bi, ti in enumerate(take):
-                    t = targets[ti]
-                    ns, nr = t.alnmat.shape
-                    aln_b[bi, :ns, :nr] = t.alnmat
-                    dmap_b[bi] = _build_dmap_channel(l_pad, nr, t.template_ca)
-                    nseqs_b[bi], nres_b[bi] = ns, nr
-
-                owned = None
-                if self.mesh is not None:
-                    args = tuple(
-                        put_global(x, data_sharded(self.mesh, x.ndim))
-                        for x in (aln_b, nseqs_b, nres_b, dmap_b)
-                    )
-                    if jax.process_count() > 1:
-                        owned = owned_batch_indices(
-                            data_sharded(self.mesh, 1), (pad_to,))
-                else:
-                    args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
-                            jnp.asarray(nres_b), jnp.asarray(dmap_b))
-                params = self.params
-
-                statics = dict(
-                    dca_method=self._dca_method(), precision=self.precision,
-                    vgru_impl=self._vgru_impl(),
-                    fused_conv=self._fused_conv(),
-                    batched_impl=True,
-                    refine_impl=self._refine_impl(),
-                    rgru_impl=self._rgru_impl(),
-                )
-                t_start = time.perf_counter()
                 try:
-                    trip = (jnp.asarray(max(iterations, 0)),
-                            jnp.asarray(max(minsteps, 0)))
-                    if self.mesh is not None:
-                        # shard_map: map the natively-batched *program* over
-                        # the data axis so Pallas kernels run per-shard
-                        coords, confs = _fold_batch_shardmap(
-                            self.mesh, **statics)(params, *args, *trip)
-                    else:
-                        coords, confs = _fold_batch(params, *args, *trip,
-                                                    **statics)
-                    if self.mesh is not None and jax.process_count() > 1:
-                        # all-gather the (small) outputs over ICI so every
-                        # host can fetch every target's result
-                        coords, confs = replicate_result(
-                            self.mesh, (coords, confs))
-                    coords, confs = jax.device_get((coords, confs))
-                except Exception as exc:  # failure tolerance: requeue singly
-                    # a whole batch failed (e.g. OOM at this bucket) — retry
-                    # each target alone so one bad target can't sink its
-                    # batchmates; individual failures are skipped + logged
-                    # (the reference's inline-skip strategy, train.py:81-84)
-                    log_target("batch_failed", 0, 0, (n_pad, l_pad), 0.0,
-                               None, event="batch_error", error=str(exc)[:200])
-                    for bi, ti in enumerate(chunk):
-                        try:
-                            results[ti] = self._fold_single(
-                                targets[ti], iterations, minsteps)
-                            if owned is None or bi in owned:
-                                self.counters.record(results[ti][0].shape[0])
-                        except Exception as exc2:
-                            results[ti] = None
-                            log_target(f"target[{ti}]", *targets[ti].alnmat.shape,
-                                       None, 0.0, None, event="target_error",
-                                       error=str(exc2)[:200])
+                    inflight.append(dispatch(bucket, chunk))
+                except Exception as exc:
+                    # dispatch-time failure (e.g. compile error): fall back
+                    # to per-target folds right away
+                    requeue(bucket, chunk, None, exc)
                     continue
-                elapsed = time.perf_counter() - t_start
-                for bi, ti in enumerate(chunk):
-                    nr = int(nres_b[bi])
-                    results[ti] = (coords[bi, :nr], confs[bi, :nr])
-                    # multi-process: count only targets computed on THIS
-                    # process's devices (global totals via global_counters)
-                    if owned is None or bi in owned:
-                        self.counters.record(nr)
-                    if self.verbose:
-                        # per-target time = batch wall-clock / device batch
-                        # size; the first batch of a bucket includes XLA
-                        # compilation (batch_seconds lets readers filter)
-                        log_target(
-                            f"target[{ti}]", int(nseqs_b[bi]), nr,
-                            (n_pad, l_pad), elapsed / pad_to,
-                            float(confs[bi, :nr].mean()),
-                            batch_seconds=round(elapsed, 4),
-                            batch_size=pad_to,
-                        )
+                while len(inflight) >= self.max_inflight:
+                    retire(inflight.pop(0))
+        while inflight:
+            retire(inflight.pop(0))
         return results
