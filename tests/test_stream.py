@@ -130,6 +130,46 @@ def test_batch_failure_requeues_singly(params, targets, monkeypatch, capsys):
     assert "batch_error" in err
 
 
+def test_pipelined_matches_sequential(params, targets, monkeypatch):
+    """The depth-2 dispatch window must not change results, ordering, or
+    counters vs fully sequential retirement — including when one mid-stream
+    batch fails at execution time and requeues singly."""
+    from dmpfold2_tpu.parallel import stream as stream_mod
+
+    seq = BatchFolder(params, batch_size=2)
+    seq.max_inflight = 1
+    want = seq.fold_many(targets, iterations=1, minsteps=2)
+
+    pipe = BatchFolder(params, batch_size=2)
+    assert pipe.max_inflight == 2
+    got = pipe.fold_many(targets, iterations=1, minsteps=2)
+    assert pipe.counters.targets == seq.counters.targets == len(targets)
+    for (wc, wf), (gc, gf) in zip(want, got):
+        np.testing.assert_array_equal(wc, gc)
+        np.testing.assert_array_equal(wf, gf)
+
+    # now fail the second dispatched batch only: batchmates of other batches
+    # must be untouched and the failed batch's members requeue singly
+    real_fold_batch = stream_mod._fold_batch
+    calls = {"n": 0}
+
+    def second_call_explodes(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-stream batch failure")
+        return real_fold_batch(*args, **kwargs)
+
+    monkeypatch.setattr(stream_mod, "_fold_batch", second_call_explodes)
+    pipe2 = BatchFolder(params, batch_size=2)
+    got2 = pipe2.fold_many(targets, iterations=1, minsteps=2)
+    assert calls["n"] >= 2
+    assert pipe2.counters.targets == len(targets)
+    for (wc, wf), (gc, gf) in zip(want, got2):
+        assert gc.shape == wc.shape
+        np.testing.assert_allclose(gf, wf, atol=1e-4)
+        np.testing.assert_allclose(gc, wc, atol=1e-2)
+
+
 def test_single_target_failure_skips_and_logs(params, targets, monkeypatch, capsys):
     """A target that fails even alone is skipped with a target_error log;
     batchmates still produce results and ordering is preserved."""
