@@ -268,6 +268,15 @@ class BatchFolder:
         )
         trip = (jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)))
 
+        # per-process ownership of batch slots (multi-process): every chunk
+        # pads to the same batch size, so this is chunk-independent — compute
+        # it once so even dispatch-time failures requeue with correct
+        # ownership (counters must record each target on exactly one process)
+        owned_slots = None
+        if self.mesh is not None and jax.process_count() > 1:
+            owned_slots = owned_batch_indices(
+                data_sharded(self.mesh, 1), (batch,))
+
         results: list = [None] * len(targets)
 
         def dispatch(bucket, chunk):
@@ -290,15 +299,11 @@ class BatchFolder:
                 dmap_b[bi] = _build_dmap_channel(l_pad, nr, t.template_ca)
                 nseqs_b[bi], nres_b[bi] = ns, nr
 
-            owned = None
             if self.mesh is not None:
                 args = tuple(
                     put_global(x, data_sharded(self.mesh, x.ndim))
                     for x in (aln_b, nseqs_b, nres_b, dmap_b)
                 )
-                if jax.process_count() > 1:
-                    owned = owned_batch_indices(
-                        data_sharded(self.mesh, 1), (pad_to,))
             else:
                 args = (jnp.asarray(aln_b), jnp.asarray(nseqs_b),
                         jnp.asarray(nres_b), jnp.asarray(dmap_b))
@@ -316,7 +321,7 @@ class BatchFolder:
                 # fetch every target's result
                 coords, confs = replicate_result(self.mesh, (coords, confs))
             return dict(bucket=bucket, chunk=chunk, pad_to=pad_to,
-                        nseqs_b=nseqs_b, nres_b=nres_b, owned=owned,
+                        nseqs_b=nseqs_b, nres_b=nres_b, owned=owned_slots,
                         coords=coords, confs=confs,
                         t_start=time.perf_counter())
 
@@ -378,7 +383,7 @@ class BatchFolder:
                 except Exception as exc:
                     # dispatch-time failure (e.g. compile error): fall back
                     # to per-target folds right away
-                    requeue(bucket, chunk, None, exc)
+                    requeue(bucket, chunk, owned_slots, exc)
                     continue
                 while len(inflight) >= self.max_inflight:
                     retire(inflight.pop(0))

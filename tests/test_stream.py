@@ -170,6 +170,38 @@ def test_pipelined_matches_sequential(params, targets, monkeypatch):
         np.testing.assert_allclose(gc, wc, atol=1e-2)
 
 
+def test_retire_time_failure_requeues_singly(params, targets, monkeypatch, capsys):
+    """Execution-time failures surface at the retire step's device_get under
+    pipelining (async dispatch defers device errors to the fetch); that
+    branch must requeue the batch's members singly like a dispatch failure."""
+    real_device_get = jax.device_get
+    fails = {"n": 0}
+
+    def failing_device_get(x):
+        # only intercept fold_many's batched fetch (leading batch dim on the
+        # coords tuple); single-fold fetches inside the requeue path and
+        # unrelated callers pass through
+        if (isinstance(x, tuple) and len(x) == 2
+                and getattr(x[0], "ndim", 0) == 4):
+            fails["n"] += 1
+            if fails["n"] == 2:
+                raise RuntimeError("injected retire-time failure (fake async OOM)")
+        return real_device_get(x)
+
+    monkeypatch.setattr(jax, "device_get", failing_device_get)
+    folder = BatchFolder(params, batch_size=2)
+    results = folder.fold_many(targets, iterations=1, minsteps=2)
+    monkeypatch.setattr(jax, "device_get", real_device_get)
+
+    assert fails["n"] >= 2
+    assert all(r is not None for r in results)
+    assert folder.counters.targets == len(targets)
+    for t, (coords, confs) in zip(targets, results):
+        assert coords.shape == (t.alnmat.shape[1], 5, 3)
+    err = capsys.readouterr().err
+    assert "batch_error" in err and "retire-time failure" in err
+
+
 def test_single_target_failure_skips_and_logs(params, targets, monkeypatch, capsys):
     """A target that fails even alone is skipped with a target_error log;
     batchmates still produce results and ordering is preserved."""
