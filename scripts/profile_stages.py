@@ -156,6 +156,15 @@ def main():
     ms = amortized_ms(dca_from_oh, oh, repeats=5)
     log(f"reweight+DCA (cholesky) B={batch}: {ms:.2f} ms")
 
+    def dca_schur(ohv):
+        def one(o, ns, nr):
+            w = reweight(o, nr)
+            return dca_or_zero(o, w, ns, nr, method="schur")
+        return jax.vmap(one)(ohv, nseqs_b, nres_b)
+
+    ms = amortized_ms(dca_schur, oh, repeats=5)
+    log(f"reweight+DCA (schur)    B={batch}: {ms:.2f} ms")
+
     if jax.default_backend() == "tpu":
         from dmpfold2_tpu.kernels.vgru import vgru_final_cols_pallas
 

@@ -112,6 +112,32 @@ def test_seq_sharded_inference_matches_unsharded():
     np.testing.assert_allclose(shard_c, base_c, atol=5e-3)
 
 
+def test_seq_sharded_inference_schur_dca():
+    """The Schur-complement DCA inverse (the TPU default at every size since
+    round 2) must also compile+run under the seq mesh — GSPMD partitions its
+    block GEMMs; long-target pods combine it with pair-tensor sharding."""
+    import numpy as np
+    from dmpfold2_tpu.engine.fold import Folder
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16,
+                                   num_blocks=2)
+    rng = np.random.default_rng(1)
+    alnmat = rng.integers(0, 21, (10, 40)).astype(np.uint8)
+
+    base_c, base_f = Folder(params, dca_method="schur").fold(
+        alnmat, iterations=0, minsteps=3)
+    ref_c, ref_f = Folder(params, dca_method="cholesky").fold(
+        alnmat, iterations=0, minsteps=3)
+    np.testing.assert_allclose(base_f, ref_f, atol=1e-4)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh), pair_sharding("seq"):
+        shard_c, shard_f = Folder(params, dca_method="schur").fold(
+            alnmat, iterations=0, minsteps=3)
+    np.testing.assert_allclose(shard_f, base_f, atol=1e-4)
+    np.testing.assert_allclose(shard_c, base_c, atol=5e-3)
+
+
 def test_dp_fold_has_no_cross_device_collectives():
     """DP batch folding is embarrassingly parallel: the compiled program
     must contain no cross-device collectives (basis for the ≥80% linear
