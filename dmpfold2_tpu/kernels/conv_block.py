@@ -122,24 +122,29 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
             [s, ss, jnp.zeros((6, group), jnp.float32)], axis=0)
 
 
-def _pick_band(l_cols: int, c_out: int, c_in: int = 128) -> int:
+def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
+               with_argmax: bool) -> int:
     # budget by total VMEM: fp32 accumulator + window + KSIZE shifted
     # bf16 buffers + weights + output band, within ~12 MB of the 16 MB VMEM
     l_al = -(-l_cols // 8) * 8
     w_win = -(-(l_al + 2 * PAD) // 8) * 8
     weights = KSIZE * KSIZE * c_in * c_out * 2
+    # per output element: bf16 out (2 B) + int32 argmax residual (4 B) when
+    # the training VJP asks for it
+    out_bytes = 2 + (4 if with_argmax else 0)
     for t in (20, 16, 10, 8, 5, 4, 2, 1):
         acc = t * l_al * c_out * 4
         win = (t + 2 * PAD) * w_win * c_in * 2
         shifted = KSIZE * (t + 2 * PAD) * l_al * c_in * 2
-        out = t * l_cols * (c_out // 4) * 4  # bf16 out + int32 argmax worst case
+        out = t * l_cols * (c_out // pool) * out_bytes
         if acc + win + shifted + weights + out <= 12 * 2 ** 20:
             return t
     return 1
 
 
-def _divisor_band(tall: int, l_cols: int, c_out: int) -> int:
-    budget = _pick_band(l_cols, c_out)
+def _divisor_band(tall: int, l_cols: int, c_out: int, c_in: int, pool: int,
+                  with_argmax: bool) -> int:
+    budget = _pick_band(l_cols, c_out, c_in, pool, with_argmax)
     for t in range(budget, 0, -1):
         if tall % t == 0:
             return t
@@ -201,9 +206,9 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
 
     if with_stats:
         # bands must not cross target boundaries: pick t_rows | stride
-        t_rows = _divisor_band(stride, l_cols, c_out)
+        t_rows = _divisor_band(stride, l_cols, c_out, c_in, pool, with_argmax)
     else:
-        t_rows = _divisor_band(tall, l_cols, c_out)
+        t_rows = _divisor_band(tall, l_cols, c_out, c_in, pool, with_argmax)
     n_bands = tall // t_rows
 
     out_spec = pl.BlockSpec((t_rows, l_cols, group),

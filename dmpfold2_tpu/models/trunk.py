@@ -98,6 +98,22 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
     }
 
 
+def _mask_nres(mask):
+    """Per-target valid length from a pair mask.
+
+    The fused-norm kernels take a scalar ``nres`` per target instead of the
+    full (B, L, L, 1) mask, which is valid ONLY because every mask in this
+    framework is the outer product of a right-padded row mask
+    (``mask[b,i,j] == (i < nres_b) & (j < nres_b)`` — engine/fold.py and
+    gruresnet build them exactly so). An interior-hole or ragged mask would
+    silently get wrong statistics here; such masks must use the unfused
+    ``masked_instance_norm`` path.
+    """
+    if mask is None:
+        return None
+    return mask[:, :, 0, 0].sum(axis=1).astype(jnp.int32)
+
+
 def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=None,
              fused_conv: bool = False):
     """Conv to C*pool channels, max over pool groups, instance norm.
@@ -118,11 +134,9 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
         # fewer per block); output is already normalized, masked and bf16
         from ..kernels.conv_block import conv5x5_maxout_norm
 
-        nres = (mask[:, :, 0, 0].sum(axis=1).astype(jnp.int32)
-                if mask is not None else None)
         return conv5x5_maxout_norm(x.astype(jnp.bfloat16), params["w"],
                                    params["b"], params["gamma"],
-                                   params["beta"], pool, nres, mask)
+                                   params["beta"], pool, _mask_nres(mask), mask)
     if use_fused:
         from ..kernels.conv_block import conv5x5_maxout_diff
 
@@ -204,13 +218,11 @@ def _resnet_block_fused_norm(params, x, mask):
     one write. cSE uses the constant-beta gate (see :func:`scse`).
     """
     mp, sp = params["maxout"], params["scse"]
-    nres = (mask[:, :, 0, 0].sum(axis=1).astype(jnp.int32)
-            if mask is not None else None)
     from ..kernels.conv_block import conv5x5_maxout_stats
 
     z, scale, shift = conv5x5_maxout_stats(
         x.astype(jnp.bfloat16), mp["w"], mp["b"], mp["gamma"], mp["beta"],
-        4, nres)
+        4, _mask_nres(mask))
     # constant cSE gate: the pooled mean of the normalized output is beta
     pooled = mp["beta"].astype(jnp.float32)[None, :]
     g = jax.nn.sigmoid(jax.nn.relu(pooled @ sp["cse_w1"]) @ sp["cse_w2"])
@@ -237,6 +249,11 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
             and params["maxout"]["w"].shape[0] == KSIZE_FUSED
             and compute_dtype == jnp.bfloat16 and _sharding_inactive()):
         return _resnet_block_fused_norm(params, x, mask)
+    if fused_conv == "norm":
+        # the fully-fused path didn't qualify (e.g. training dropout): fall
+        # back to the differentiable fused kernel + unfused norm rather than
+        # sending "norm" into the inference-only kernel below
+        fused_conv = True
     out = x
     if dropout_rng is not None and dropout_rate > 0.0:
         r1, r2 = jax.random.split(dropout_rng)

@@ -9,8 +9,10 @@ as `lax.fori_loop`s over fixed-size column panels, so XLA keeps a single
 in-place working buffer plus one panel of temporaries (~4 GB at 16128²),
 trading ~3× the FLOPs for bounded memory — all of it MXU matmuls.
 
-Used by features.dca for matrices above ``BLOCKED_THRESHOLD``; exact to
-~1e-5 of the stock path (tested).
+Routing (features.dca): ``schur_spd_inverse`` (below) is the TPU inference
+default at EVERY size since round 2; the blocked Cholesky here serves
+``method="cholesky"`` above ``BLOCKED_THRESHOLD`` and the fidelity modes.
+Exact to ~1e-5 of the stock path (tested).
 """
 
 from __future__ import annotations

@@ -42,8 +42,10 @@ def make_mesh(n_data: int | None = None, n_seq: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_seq
-    if n_data * n_seq > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_seq} needs more than {len(devices)} devices")
+    if n_data < 1 or n_seq < 1 or n_data * n_seq > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_seq} needs {max(n_data, 1) * max(n_seq, 1)} "
+            f"devices but only {len(devices)} are available")
     grid = np.asarray(devices[: n_data * n_seq]).reshape(n_data, n_seq)
     return Mesh(grid, ("data", "seq"))
 
@@ -89,6 +91,9 @@ def owned_batch_indices(sharding: NamedSharding, shape: tuple) -> set[int]:
     return owned
 
 
+_REPLICATE_CACHE: dict = {}
+
+
 def replicate_result(mesh: Mesh, tree):
     """All-gather a sharded result so every process can fetch it.
 
@@ -96,6 +101,13 @@ def replicate_result(mesh: Mesh, tree):
     (non-addressable shards); re-jitting an identity with replicated
     out_shardings makes XLA all-gather the (small) results over ICI, after
     which every host holds the full arrays. No-op cost single-process.
+
+    The jitted identity is cached per mesh — the pjit cache keys on function
+    identity, so a fresh lambda per call would retrace (and remote-compile)
+    the all-gather for every retired batch of the hot fold loop.
     """
-    fn = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+    fn = _REPLICATE_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+        _REPLICATE_CACHE[mesh] = fn
     return fn(tree)
