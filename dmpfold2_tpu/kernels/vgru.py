@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NUM_CLASSES = 22
+from ..utils.aln import NUM_CLASSES  # single source of the 22-class alphabet
 
 
 ROW_CHUNK = 8  # rows per grid step (TPU block tiling needs sublane multiples of 8)
@@ -98,12 +98,15 @@ def _kernel(valid_ref, aln_ref, wi1_ref, wh1_ref, wi2_ref, wh2_ref,
 
 
 def _pick_tile(n_cols: int, max_tile: int = 256) -> int:
+    """Column-tile width; callers pad n_cols up to a multiple of it.
+
+    Padding (rather than requiring a divisor) keeps tiles wide for awkward
+    lengths — a prime n_cols would otherwise degrade to 1-column tiles,
+    orders of magnitude slower than the scan this kernel replaces.
+    """
     if n_cols <= max_tile:
-        return n_cols
-    for n_tiles in range(-(-n_cols // max_tile), n_cols + 1):
-        if n_cols % n_tiles == 0:
-            return n_cols // n_tiles
-    return n_cols
+        return -(-n_cols // 8) * 8  # one 8-aligned tile
+    return max_tile
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -121,15 +124,22 @@ def vgru_final_cols_pallas(layers, aln_cols, col_valid, *, interpret: bool = Fal
 
     tile = _pick_tile(n_cols)
 
-    # pad rows to a ROW_CHUNK multiple (padded rows freeze the state anyway)
-    n_rows_pad = -(-n_rows // ROW_CHUNK) * ROW_CHUNK
+    # pad columns to a tile multiple (padded columns carry valid=0, so their
+    # state stays frozen at zero) and rows to a ROW_CHUNK multiple (padded
+    # rows freeze the state anyway)
+    n_cols_pad = -(-n_cols // tile) * tile
+    col_valid = jnp.asarray(col_valid, jnp.int32)
     aln = aln_cols.astype(jnp.int32)
+    if n_cols_pad != n_cols:
+        aln = jnp.pad(aln, ((0, 0), (0, n_cols_pad - n_cols)))
+        col_valid = jnp.pad(col_valid, (0, n_cols_pad - n_cols))
+    n_rows_pad = -(-n_rows // ROW_CHUNK) * ROW_CHUNK
     if n_rows_pad != n_rows:
         aln = jnp.pad(aln, ((0, n_rows_pad - n_rows), (0, 0)))
 
     out = pl.pallas_call(
         partial(_kernel, hidden=hidden),
-        grid=(n_cols // tile, n_rows_pad // ROW_CHUNK),
+        grid=(n_cols_pad // tile, n_rows_pad // ROW_CHUNK),
         in_specs=[
             # per-column valid, shipped as (n_cols, 8) so the kernel reads a
             # native (tile, 1) column vector
@@ -148,19 +158,19 @@ def vgru_final_cols_pallas(layers, aln_cols, col_valid, *, interpret: bool = Fal
         ],
         out_specs=pl.BlockSpec((tile, hidden), lambda t, i: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_cols, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_cols_pad, hidden), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile, hidden), jnp.float32),
             pltpu.VMEM((tile, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(
-        jnp.broadcast_to(jnp.asarray(col_valid, jnp.int32)[:, None], (n_cols, 8)),
+        jnp.broadcast_to(col_valid[:, None], (n_cols_pad, 8)),
         aln,
         layers[0]["wi"], layers[0]["wh"], layers[1]["wi"], layers[1]["wh"],
         layers[0]["bi"], layers[0]["bh"], layers[1]["bi"], layers[1]["bh"],
     )
-    return out
+    return out[:n_cols]
 
 
 def vgru_final_pallas(layers, alnmat, valid_len, *, interpret: bool = False):

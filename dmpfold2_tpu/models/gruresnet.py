@@ -30,7 +30,7 @@ from ..parallel.sharding import shard_pair
 from .geometry import calpha_to_main_chain, mds_coords, refine_coords
 from .trunk import NUM_DCA_CHANNELS, trunk_apply, trunk_params
 
-NUM_AA_CLASSES = 22  # 20 aa + ambiguous + gap (network embedding keeps all 22)
+from ..utils.aln import NUM_CLASSES as NUM_AA_CLASSES  # 22: the network embedding keeps all classes
 WIDTH = 512
 CWIDTH = 128
 

@@ -67,14 +67,18 @@ class FoldService:
         self.config = cfg
         self.counters = Counters()
         self.folder = Folder.from_config(params, cfg)
+        # the coalesced path must run the same implementation knobs as the
+        # single path, or identical inputs would return (slightly) different
+        # results depending on server load
         self.batcher = BatchFolder(
             params, precision=cfg.precision, dca_method=cfg.dca_method,
-            counters=self.counters,
+            vgru_impl=cfg.vgru_impl, counters=self.counters,
         )
         self.batch_window_s = batch_window_s
         self.max_batch = max_batch
         self.batch_stats = {"dispatches": 0, "requests": 0, "max_coalesced": 0}
         self._ready = threading.Event()
+        self._closed = False
         self._queue: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
@@ -83,14 +87,29 @@ class FoldService:
 
     def warmup(self, shapes=((256, 96), (256, 128))) -> None:
         """Precompile common buckets + the healthz shape; marks the service
-        ready so /healthz answers from cache."""
+        ready so /healthz answers from cache.
+
+        Also precompiles the COALESCED path (the batched program is distinct
+        from the single-target one) at the quantized batch sizes for the
+        primary bucket — otherwise the first concurrent burst stalls every
+        queued request behind a cold XLA compile. One-time cost per cluster
+        with the persistent compile cache.
+        """
         self.folder.warmup(shapes=tuple(shapes) + (HEALTH_SHAPE,))
+        if shapes:
+            nseqs, nres = shapes[0]
+            aln = np.zeros((min(nseqs, 8), nres), np.uint8)
+            for bs in sorted({2, self.max_batch}):
+                self.batcher.batch_size = bs
+                self.batcher.fold_many([Target(alnmat=aln)] * 2,
+                                       iterations=1, minsteps=1)
         self._ready.set()
 
     def ready(self) -> bool:
         return self._ready.is_set()
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
 
     # -- request path ------------------------------------------------------
@@ -101,9 +120,15 @@ class FoldService:
         alnmat = aln_io.encode_rows(rows)
         if alnmat.shape[0] > aln_io.MAX_SEQS:
             alnmat = alnmat[: aln_io.MAX_SEQS]
+        if self._closed:
+            raise RuntimeError("service is shutting down")
         req = _FoldRequest(alnmat, iterations, minsteps)
         self._queue.put(req)
-        req.event.wait()
+        while not req.event.wait(timeout=1.0):
+            # belt for the close() race: if the dispatcher exited after we
+            # checked _closed but before our put, nobody will set the event
+            if self._closed and not self._thread.is_alive():
+                raise RuntimeError("service is shutting down")
         if req.error is not None:
             raise req.error
         coords, confs = req.result
@@ -116,27 +141,46 @@ class FoldService:
         while True:
             req = self._queue.get()
             if req is None:
+                self._drain_closed()
                 return
             batch = [req]
-            deadline = time.monotonic() + self.batch_window_s
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt is None:       # shutdown mid-coalesce: finish batch first
-                    self._queue.put(None)
-                    break
-                batch.append(nxt)
+            # open the coalescing window only when more work is already
+            # queued — a solitary request on an idle server dispatches
+            # immediately instead of paying the full window in latency
+            # (bursts still coalesce: requests arriving while a fold is in
+            # flight queue up behind it)
+            if not self._queue.empty():
+                deadline = time.monotonic() + self.batch_window_s
+                while len(batch) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._queue.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is None:   # shutdown mid-coalesce: finish batch first
+                        self._queue.put(None)
+                        break
+                    batch.append(nxt)
 
             groups: dict[tuple[int, int], list[_FoldRequest]] = {}
             for r in batch:
                 groups.setdefault((r.iterations, r.minsteps), []).append(r)
             for (it, ms), reqs in groups.items():
                 self._run_group(it, ms, reqs)
+
+    def _drain_closed(self) -> None:
+        """Fail any request enqueued in the close() race so its handler
+        thread doesn't wait forever on an event nobody will set."""
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.error = RuntimeError("service is shutting down")
+                req.event.set()
 
     def _run_group(self, iterations: int, minsteps: int,
                    reqs: list[_FoldRequest]) -> None:
@@ -156,9 +200,9 @@ class FoldService:
             r.event.set()
             return
 
-        # pad the device batch to a power of two so the compile cache sees a
-        # handful of batch sizes, not one program per coalesce count
-        self.batcher.batch_size = 1 << (len(reqs) - 1).bit_length()
+        # quantize the device batch to the two warmed sizes (2, max_batch) so
+        # coalesce counts never hit a cold batched program mid-traffic
+        self.batcher.batch_size = 2 if len(reqs) == 2 else self.max_batch
         try:
             results = self.batcher.fold_many(
                 [Target(alnmat=r.alnmat) for r in reqs],

@@ -192,13 +192,17 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
 
     (_, metrics), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
     # non-finite guard: the reference skips samples whose SVD fails and its
-    # GradScaler skips inf/nan steps (train.py:213-217, 373-374); here a bad
-    # micro-batch contributes zero gradient instead of poisoning Adam state
+    # GradScaler skips inf/nan steps (train.py:213-217, 373-374). A skipped
+    # step must leave BOTH params and optimizer state untouched — zeroed
+    # grads alone would still move params through Adam's decayed momentum
+    # (and advance its moment/step state), which is not a skip.
     grads_ok = jnp.all(jnp.asarray(
         [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
     ))
     grads = jax.tree.map(lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads)
     metrics["skipped"] = 1.0 - jnp.asarray(grads_ok, jnp.float32)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, metrics
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    keep = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(grads_ok, n, o), new, old)
+    return keep(new_params, params), keep(new_opt_state, opt_state), metrics

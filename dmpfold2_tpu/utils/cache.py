@@ -16,6 +16,11 @@ def enable_persistent_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
+    if os.environ.get("DMPFOLD2_TPU_NO_CACHE"):
+        # opt-out (tests set this): cache writes of some very large CPU
+        # executables abort inside native serialization, and hermetic test
+        # runs shouldn't touch the production cache anyway
+        return
     import jax
 
     path = (path or os.environ.get("DMPFOLD2_TPU_CACHE")

@@ -13,6 +13,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# keep tests hermetic: API entry points (aln_to_coords, serve) enable the
+# persistent compilation cache process-wide, which would fill the production
+# cache with virtual-CPU executables — and the serialized write of some large
+# donated-buffer programs aborts in native code
+os.environ.setdefault("DMPFOLD2_TPU_NO_CACHE", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

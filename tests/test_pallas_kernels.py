@@ -74,6 +74,22 @@ def test_vgru_cols_kernel_matches_batched_forward(layers):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_vgru_cols_kernel_awkward_length(layers):
+    """Prime/odd column counts must pad to a full tile (not degrade to
+    1-wide tiles): results still match the scan on the true columns."""
+    rng = np.random.default_rng(5)
+    n_rows, n_cols = 12, 13  # 13 is prime
+    aln = jnp.asarray(rng.integers(0, 22, (n_rows, n_cols)), jnp.int32)
+    col_valid = jnp.asarray(rng.integers(1, n_rows + 1, (n_cols,)), jnp.int32)
+    from dmpfold2_tpu.kernels.vgru import vgru_final_cols_pallas
+
+    out = vgru_final_cols_pallas(layers, aln, col_valid, interpret=True)
+    assert out.shape[0] == n_cols
+    x = jnp.asarray(aln[..., None] == jnp.arange(22), jnp.float32)
+    ref = gru.unigru_stack_final(layers, x, valid_len=col_valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_rgru_kernel_matches_scan_per_column_valid():
     """Residue-GRU sequence kernel vs lax.scan: batched, per-target lengths,
     both directions (forward freeze / reverse zero masking)."""
