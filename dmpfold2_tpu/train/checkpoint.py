@@ -23,6 +23,7 @@ from .. import weights as weights_mod
 
 BEST_VAL = "fullmap_e2e_model.npz"
 BEST_TRAIN = "fullmap_e2e_model_train.npz"
+LATEST = "latest_model.npz"
 CHECKPOINT = "checkpoint.pkl"
 
 
@@ -47,7 +48,14 @@ def partial_restore(params, path: str):
 
 
 def save_train_state(workdir: str, epoch: int, opt_state, val_err_min: float,
-                     train_err_min: float) -> None:
+                     train_err_min: float, params=None) -> None:
+    """Rolling checkpoint. ``params`` (when given) is saved alongside as
+    LATEST — the optimizer moments (and any mid-accumulation MultiSteps
+    gradient buffer) are only meaningful with the params they were computed
+    against, so resume must restore BOTH, not opt_state over best-train or
+    fresh random weights."""
+    if params is not None:
+        save_params(os.path.join(workdir, LATEST), params)
     state = {
         "epoch": epoch,
         "opt_state": jax.tree.map(np.asarray, opt_state),

@@ -40,18 +40,21 @@ for c in "BJOUXZ":
     _AA_NUM[c] = 20
 
 
-def load_cluster_list(path: str):
+def load_cluster_list(path: str, validation_clusters: int = VALIDATION_CLUSTERS):
     """train_clust.lst -> (train_list, validation_list) of member-id lists.
 
-    First 300 clusters are validation (reference: train.py:37-56).
+    First 300 non-empty clusters are validation (reference: train.py:37-56).
+    The split counts CLUSTERS, not raw lines — blank lines must not shrink
+    the validation set or leak would-be-validation clusters into training.
     """
     train_list, validation_list = [], []
     with open(path) as fh:
-        for tnum, line in enumerate(fh):
+        for line in fh:
             members = line.rstrip().split()
             if not members:
                 continue
-            (validation_list if tnum < VALIDATION_CLUSTERS else train_list).append(members)
+            (validation_list if len(validation_list) < validation_clusters
+             else train_list).append(members)
     return train_list, validation_list
 
 
@@ -81,9 +84,20 @@ def parse_tdb(path: str):
 
 
 def parse_aln_rows(path: str) -> np.ndarray:
+    """Training-format alignment: raw rows, no FASTA headers, no row cap
+    (reference train.py:130-134 reads every line verbatim — unlike the
+    prediction parser, utils/aln.parse_aln, which skips '>' and caps rows).
+    Header rows would silently encode to garbage classes, so fail loudly.
+    """
     with open(path) as fh:
         rows = fh.read().splitlines()
-    return encode_rows([r for r in rows if r])
+    rows = [r for r in rows if r]
+    if any(r.startswith(">") for r in rows):
+        raise ValueError(
+            f"{path}: training alignments must be headerless (reference "
+            "train.py:130 format); strip FASTA headers or convert with "
+            "utils.aln.parse_aln")
+    return encode_rows(rows)
 
 
 @dataclass
@@ -96,11 +110,14 @@ class DMPDataset:
     """Cluster-based dataset with reference augmentation semantics."""
 
     def __init__(self, sample_list, data_dir: str = ".", augment: bool = True,
-                 rng: random.Random | None = None):
+                 rng: random.Random | None = None,
+                 crop_len: int = DEF_CROPLEN, max_aln_size: int = MAXALNSZ):
         self.sample_list = sample_list
         self.data_dir = data_dir
         self.augment = augment
         self.rng = rng or random.Random()
+        self.crop_len = crop_len
+        self.max_aln_size = max_aln_size
 
     def __len__(self) -> int:
         return len(self.sample_list)
@@ -115,9 +132,9 @@ class DMPDataset:
         else:
             if alnmat.shape[0] > 1000:
                 alnmat = alnmat[:1000]
-            if alnmat.shape[1] > DEF_CROPLEN:
-                alnmat = alnmat[:, :DEF_CROPLEN]
-                targets = targets[:DEF_CROPLEN]
+            if alnmat.shape[1] > self.crop_len:
+                alnmat = alnmat[:, : self.crop_len]
+                targets = targets[: self.crop_len]
         return Sample(alnmat, targets)
 
     def _augment(self, alnmat: np.ndarray, targets: np.ndarray):
@@ -132,15 +149,15 @@ class DMPDataset:
             targets = targets[aalocs[0] : aalocs[-1] + 1]
             length = alnmat.shape[1]
 
-        # random crop to DEF_CROPLEN (train.py:146-151)
-        if length > DEF_CROPLEN:
-            lcut = rng.randint(0, length - DEF_CROPLEN)
-            alnmat = alnmat[:, lcut : lcut + DEF_CROPLEN]
-            targets = targets[lcut : lcut + DEF_CROPLEN]
-            length = DEF_CROPLEN
+        # random crop to crop_len (train.py:146-151)
+        if length > self.crop_len:
+            lcut = rng.randint(0, length - self.crop_len)
+            alnmat = alnmat[:, lcut : lcut + self.crop_len]
+            targets = targets[lcut : lcut + self.crop_len]
+            length = self.crop_len
 
         # log-uniform row subsample under the area budget (train.py:152-162)
-        maxseqs = min(1000, MAXALNSZ // length)
+        maxseqs = min(1000, self.max_aln_size // length)
         if nseqs > 1:
             p = (1 + int(math.exp(rng.random() * math.log(nseqs - 1)))) / nseqs
             rowmask = np.asarray(

@@ -22,18 +22,17 @@ from ..config import TrainConfig
 from ..models import gruresnet
 from . import checkpoint as ckpt
 from .dataset import BATCH_SIZE, DMPDataset, load_cluster_list, pad_to_bucket
-from .step import MAX_ITERATIONS, TrainBatch, make_optimizer, train_step
+from .step import TrainBatch, make_optimizer, train_step
 
 
 def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
     end = len(indices) - micro_batch + 1 if drop_last else len(indices)
     for start in range(0, max(end, 0), micro_batch):
         samples = [dataset[i] for i in indices[start : start + micro_batch]]
-        alnmat, targets, nseqs, nres = pad_to_bucket(samples)
-        yield TrainBatch(
-            jnp.asarray(alnmat), jnp.asarray(targets),
-            jnp.asarray(nseqs), jnp.asarray(nres),
-        )
+        # yield host arrays: the mesh path re-shards them with put_global and
+        # the single-device path lets jit place them — eager jnp.asarray here
+        # would add a host->device->host round trip per batch under a mesh
+        yield TrainBatch(*pad_to_bucket(samples))
 
 
 def train(data_dir: str = ".", clusters: str = "train_clust.lst",
@@ -73,7 +72,18 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         start_epoch = state["epoch"] + 1
         val_err_min = state["val_err_min"]
         train_err_min = state["train_err_min"]
-        print(f"checkpoint loaded, resuming at epoch {start_epoch}")
+        # the resumed optimizer moments (and any mid-accumulation MultiSteps
+        # buffer) were computed against the LATEST params — restore those,
+        # not best-train (possibly epochs old) or fresh random init
+        latest = os.path.join(workdir, ckpt.LATEST)
+        if os.path.isfile(latest):
+            params, n = ckpt.partial_restore(params, latest)
+            print(f"checkpoint loaded, resuming at epoch {start_epoch} "
+                  f"({n} tensors from {ckpt.LATEST})")
+        else:
+            print(f"checkpoint loaded, resuming at epoch {start_epoch} "
+                  f"(WARNING: no {ckpt.LATEST}; optimizer state may not "
+                  f"match params)")
 
     shard_batch = lambda b: b
     if mesh is not None:
@@ -99,8 +109,17 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             return type(b)(*(put_global(np.asarray(x), data_sharded(mesh, x.ndim))
                              for x in b))
 
-    train_data = DMPDataset(train_list, data_dir, augment=True)
-    val_data = DMPDataset(validation_list, data_dir, augment=False)
+    # deterministic, seed-derived host RNG: under multi-PROCESS training every
+    # host must draw the same shuffle, the same per-batch nloops (a STATIC
+    # trip count — different values would compile different programs whose
+    # collectives deadlock) and the same augmentation choices, or the hosts'
+    # global batches diverge silently. (The reference uses fresh entropy,
+    # train.py:359 — fine single-process; seeding also buys reproducibility.)
+    train_data = DMPDataset(train_list, data_dir, augment=True,
+                            rng=random.Random(seed ^ 0x5EED),
+                            crop_len=cfg.crop_len, max_aln_size=cfg.max_aln_size)
+    val_data = DMPDataset(validation_list, data_dir, augment=False,
+                          crop_len=cfg.crop_len, max_aln_size=cfg.max_aln_size)
     rng = jax.random.PRNGKey(seed + 1)
 
     # natively-batched forward off-mesh (enables the fused Pallas conv VJP
@@ -109,17 +128,20 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
     fused_conv = (native_batch and precision == "bf16"
                   and jax.default_backend() == "tpu")
 
+    max_nloops = cfg.max_iterations
+
     for epoch in range(start_epoch, start_epoch + num_epochs):
         t0 = time.time()
-        py_rng = random.Random()  # fresh entropy per epoch (train.py:359)
+        py_rng = random.Random(seed * 1_000_003 + epoch)  # host-synchronized
         indices = list(range(len(train_data)))
         py_rng.shuffle(indices)
 
-        train_err, train_samples = 0.0, 0
+        train_err, train_samples, train_bad = 0.0, 0, 0
         for batch in _make_batches(train_data, indices, micro_batch):
+            true_size = batch.alnmat.shape[0]
             batch = shard_batch(batch)
             rng, sub = jax.random.split(rng)
-            nloops = py_rng.randint(0, MAX_ITERATIONS)
+            nloops = py_rng.randint(0, max_nloops)
             params, opt_state, metrics = train_step(
                 params, opt_state, batch, sub, optimizer=optimizer,
                 nloops=nloops, refine_steps=refine_steps, precision=precision,
@@ -127,8 +149,10 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
             )
             loss = float(metrics["loss"])
             if np.isfinite(loss):
-                train_err += loss * batch.alnmat.shape[0]
-                train_samples += batch.alnmat.shape[0]
+                train_err += loss * true_size
+                train_samples += true_size
+            else:
+                train_bad += 1
 
         # fixed-key validation with nloops=2 (train.py:383-389): the fixed
         # PRNGKey makes teacher-forcing draws repeat across epochs
@@ -137,9 +161,9 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
                                    drop_last=False):
             # shard_batch may pad a partial batch by repeating the tail
-            # sample; weight the accumulated loss by the TRUE sample count so
-            # duplicated padding samples don't double-count in best-val
-            # selection
+            # sample; sum only the TRUE samples' losses (eval returns the
+            # per-sample vector) so duplicated padding samples don't skew
+            # best-val selection
             true_size = batch.alnmat.shape[0]
             batch = shard_batch(batch)
             val_rng, sub = jax.random.split(val_rng)
@@ -149,9 +173,15 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
                 precision=precision, native_batch=native_batch,
                 fused_conv=fused_conv,
             )
-            loss = float(metrics["loss"])
-            if np.isfinite(loss):
-                val_err += loss * true_size
+            sl = metrics["sample_loss"]
+            if mesh is not None and jax.process_count() > 1:
+                # data-sharded output: all-gather before the host fetch
+                # (device_get of non-addressable shards raises)
+                from ..parallel.mesh import replicate_result
+                sl = replicate_result(mesh, sl)
+            sample_losses = np.asarray(sl)[:true_size]
+            if np.isfinite(sample_losses).all():
+                val_err += float(sample_losses.sum())
                 val_samples += true_size
             else:
                 val_bad += 1
@@ -162,18 +192,25 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         sys.stdout.flush()
 
         # guard best-model selection against NaN epochs: an epoch with
-        # non-finite validation batches must not look "better" by summing
-        # fewer terms (deviation from the reference, which has the same
-        # skip-and-sum bias)
+        # non-finite batches must not look "better" by summing fewer terms
+        # (deviation from the reference, which has the same skip-and-sum
+        # bias). Only process 0 writes checkpoints — concurrent writers to a
+        # shared workdir would corrupt the files every other host restarts
+        # from.
+        is_writer = jax.process_index() == 0
         if val_bad == 0 and val_samples > 0 and val_err < val_err_min:
             val_err_min = val_err
-            ckpt.save_params(os.path.join(workdir, ckpt.BEST_VAL), params)
-            print("Saving best-validation model...")
-        if train_err < train_err_min:
+            if is_writer:
+                ckpt.save_params(os.path.join(workdir, ckpt.BEST_VAL), params)
+                print("Saving best-validation model...")
+        if train_bad == 0 and train_samples > 0 and train_err < train_err_min:
             train_err_min = train_err
-            ckpt.save_params(os.path.join(workdir, ckpt.BEST_TRAIN), params)
-            print("Saving best-training model...")
-        ckpt.save_train_state(workdir, epoch, opt_state, val_err_min, train_err_min)
+            if is_writer:
+                ckpt.save_params(os.path.join(workdir, ckpt.BEST_TRAIN), params)
+                print("Saving best-training model...")
+        if is_writer:
+            ckpt.save_train_state(workdir, epoch, opt_state, val_err_min,
+                                  train_err_min, params=params)
 
     return params
 

@@ -143,7 +143,9 @@ def batch_loss_native(params, batch: "TrainBatch", rngs, *,
         fused_conv=fused_conv,
     )
     losses, metrics = jax.vmap(fold_loss)(coords, confs, targets, batch.nres)
-    return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+    metrics = jax.tree.map(jnp.mean, metrics)
+    metrics["sample_loss"] = losses  # (B,): lets eval exclude padded samples
+    return jnp.mean(losses), metrics
 
 
 def make_optimizer(learning_rate: float = 1e-4, accum_steps: int = 1):
@@ -184,7 +186,9 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
             ),
             spmd_axis_name="data",
         )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)
-        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["sample_loss"] = losses  # (B,): lets eval exclude padded samples
+        return jnp.mean(losses), metrics
 
     if not train:
         _, metrics = batched_loss(params)

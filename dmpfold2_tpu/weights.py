@@ -93,12 +93,22 @@ def convert_state_dict(sd, num_blocks: int = 16):
 
 
 def save_params(path: str, params) -> None:
-    """Save a parameter pytree as a flat ``.npz`` (native checkpoint format)."""
+    """Save a parameter pytree as a flat ``.npz`` (native checkpoint format).
+
+    Atomic: written to a temp file then renamed, so a crash/preemption mid-
+    save can't truncate the best-val/best-train checkpoint a warm restart
+    depends on. (np.savez appends .npz to bare paths; writing to the temp
+    name explicitly keeps the final path exactly as given.)
+    """
+    import os
+
     import jax
 
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
-    np.savez(path, **arrays)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_params(path: str):

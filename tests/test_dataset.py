@@ -64,6 +64,59 @@ def test_cluster_list(data_dir):
     assert len(val) == 2 and len(train) == 0
 
 
+def test_cluster_list_blank_lines(tmp_path):
+    """The train/val split counts non-empty CLUSTERS, not raw lines — blank
+    lines must not leak would-be-validation clusters into training."""
+    from dmpfold2_tpu.train.dataset import load_cluster_list as load
+
+    lines = []
+    for i in range(305):
+        lines.append(f"c{i}/m{i}")
+        if i % 3 == 0:
+            lines.append("")  # interior blank lines
+    (tmp_path / "cl.lst").write_text("\n".join(lines) + "\n")
+    train, val = load(str(tmp_path / "cl.lst"))
+    assert len(val) == 300
+    assert len(train) == 5
+    assert train[0] == ["c300/m300"]
+
+
+def test_training_aln_headers_rejected(tmp_path):
+    """Training alignments are headerless (reference train.py:130); FASTA
+    headers must fail loudly, not encode to garbage classes."""
+    import pytest
+
+    from dmpfold2_tpu.train.dataset import parse_aln_rows
+
+    p = tmp_path / "x.aln"
+    p.write_text(">seq1\nARNDC\nARNDC\n")
+    with pytest.raises(ValueError, match="headerless"):
+        parse_aln_rows(str(p))
+
+
+def test_resume_restores_latest_params(data_dir, tmp_path):
+    """Resume must restore the params the optimizer state was computed
+    against (LATEST), not leave fresh random weights under resumed Adam
+    moments."""
+    from dmpfold2_tpu.train.loop import train
+
+    kwargs = dict(
+        data_dir=data_dir, clusters="clusters.lst", workdir=str(tmp_path),
+        num_epochs=1, micro_batch=1, accum_steps=2, restart=False,
+        refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+    )
+    params0 = train(**kwargs)
+    assert (tmp_path / ckpt.LATEST).exists()
+    # a fresh run with restart=False must still pick up LATEST via the
+    # checkpoint resume path and continue from the trained params
+    latest, _ = ckpt.partial_restore(
+        gruresnet.init_params(jax.random.PRNGKey(9), width=16, cwidth=8,
+                              num_blocks=2),
+        str(tmp_path / ckpt.LATEST))
+    for a, b in zip(jax.tree.leaves(params0), jax.tree.leaves(latest)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dataset_augment(data_dir):
     train, val = load_cluster_list(os.path.join(data_dir, "clusters.lst"))
     ds = DMPDataset(val, data_dir, augment=True, rng=random.Random(3))
@@ -122,7 +175,12 @@ def test_train_loop_end_to_end(data_dir, tmp_path):
     )
     train(**kwargs)
     assert (tmp_path / ckpt.CHECKPOINT).exists()
-    assert (tmp_path / ckpt.BEST_TRAIN).exists()
+    # the synthetic cluster list is all-validation (first 300 clusters), so
+    # best-TRAIN must NOT be written (an epoch with zero training batches
+    # has no best-train claim); best-val and the rolling latest must be
+    assert not (tmp_path / ckpt.BEST_TRAIN).exists()
+    assert (tmp_path / ckpt.BEST_VAL).exists()
+    assert (tmp_path / ckpt.LATEST).exists()
 
     # resume from checkpoint (epoch counter advances)
     state0 = ckpt.load_train_state(str(tmp_path))
