@@ -31,6 +31,49 @@ DEFAULT_ITERATIONS = FoldConfig.iterations
 DEFAULT_MINSTEPS = FoldConfig.minsteps
 
 
+# ---------------------------------------------------------------------------
+# Implementation policy: which kernel/method each precision mode runs on the
+# current backend. Shared by the single-target Folder and the streaming
+# BatchFolder so the two engines can never drift apart (a requeued target
+# must fold with the same numerics as its batchmates).
+
+def resolve_vgru_impl(setting: str) -> str:
+    if setting != "auto":
+        return setting
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
+def resolve_dca_method(setting: str, precision: str) -> str:
+    if setting != "auto":
+        return setting
+    # recursive Schur inverse keeps the (21L)² inverse on the MXU
+    # (ops/chol.py:schur_spd_inverse; matches the Cholesky inverse to
+    # ~1e-6); fidelity mode keeps the Cholesky path
+    if jax.default_backend() == "tpu" and precision != "fp32_strict":
+        return "schur"
+    return "cholesky"
+
+
+def resolve_fused_conv(precision: str):
+    # Pallas fused conv+maxout+InstanceNorm ("norm"): bf16 on TPU only
+    if precision == "bf16" and jax.default_backend() == "tpu":
+        return "norm"
+    return False
+
+
+def resolve_refine_impl() -> str:
+    # fused VMEM-resident refinement loop on TPU (kernels/refine.py)
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def resolve_rgru_impl(precision: str) -> str:
+    # fused residue-GRU sequence kernel (kernels/rgru.py); fp32_strict
+    # keeps the scan (reference-matmul-order fidelity)
+    if jax.default_backend() == "tpu" and precision != "fp32_strict":
+        return "pallas"
+    return "scan"
+
+
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
                                    "fused_conv", "refine_impl", "rgru_impl"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
@@ -116,36 +159,19 @@ class Folder:
         return np.asarray(coords), np.asarray(confs)
 
     def _vgru_impl(self) -> str:
-        if self.vgru_impl != "auto":
-            return self.vgru_impl
-        return "pallas" if jax.default_backend() == "tpu" else "scan"
+        return resolve_vgru_impl(self.vgru_impl)
 
     def _dca_method(self) -> str:
-        if self.dca_method != "auto":
-            return self.dca_method
-        # recursive Schur inverse keeps the (21L)² inverse on the MXU
-        # (ops/chol.py:schur_spd_inverse; matches the Cholesky inverse to
-        # ~1e-6); fidelity mode keeps the Cholesky path
-        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
-            return "schur"
-        return "cholesky"
+        return resolve_dca_method(self.dca_method, self.precision)
 
     def _fused_conv(self):
-        # Pallas fused conv+maxout+InstanceNorm ("norm"): bf16 on TPU only
-        if self.precision == "bf16" and jax.default_backend() == "tpu":
-            return "norm"
-        return False
+        return resolve_fused_conv(self.precision)
 
     def _refine_impl(self) -> str:
-        # fused VMEM-resident refinement loop on TPU (kernels/refine.py)
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return resolve_refine_impl()
 
     def _rgru_impl(self) -> str:
-        # fused residue-GRU sequence kernel (kernels/rgru.py); fp32_strict
-        # keeps the scan (reference-matmul-order fidelity)
-        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
-            return "pallas"
-        return "scan"
+        return resolve_rgru_impl(self.precision)
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.
@@ -176,7 +202,11 @@ def _download_trained_model(modeldir: str, paths):
     os.makedirs(modeldir, exist_ok=True)
     base = "https://github.com/psipred/DMPfold2/raw/master/dmpfold/trained_model"
     for path in paths:
-        request.urlretrieve(f"{base}/{os.path.basename(path)}", path)
+        # download to a temp name and rename on success: an interrupted
+        # fetch must not leave a truncated .pt that later runs trust
+        tmp = path + ".download"
+        request.urlretrieve(f"{base}/{os.path.basename(path)}", tmp)
+        os.replace(tmp, path)
 
 
 def load_weights(weights_file: str | None = None):

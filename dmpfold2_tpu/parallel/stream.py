@@ -57,8 +57,14 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
     """Batched fold body: (B, N, L) -> ((B, L, 5, 3), (B, L)). Pure function
     of per-device-visible data — used directly under ``jit`` (single device /
     GSPMD) and as the per-shard body under ``shard_map`` (see
-    :func:`_fold_batch_shardmap`)."""
+    :func:`_fold_batch_shardmap`).
+
+    fp32_strict applies the same fidelity semantics as the single-target
+    engine (engine/fold.py:_fold_device): raw LAPACK eigenvector signs and
+    full-fp32 matmuls, so batch results match Folder.fold bit-for-bit in
+    intent."""
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    canonical_signs = precision != "fp32_strict"
 
     def features(aln, ns, nr, dmap):
         oh = msa_one_hot(aln, ns, nr)
@@ -66,28 +72,36 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
         dca = dca_or_zero(oh, w, ns, nr, method=dca_method)
         return jnp.concatenate([dca, dmap[:, :, None]], axis=2)
 
-    if batched_impl:
-        # natively-batched model: one trunk conv per block for the whole
-        # batch (required by the Pallas fused conv; also batches the GRU
-        # matmuls over B*L columns)
-        x2 = jax.vmap(features)(alnmat, nseqs, nres, dmap_channel)
-        return gruresnet.forward_batched(
-            params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-            compute_dtype=compute_dtype, fused_conv=fused_conv,
-            refine_impl=refine_impl, vgru_impl=vgru_impl, rgru_impl=rgru_impl,
-        )
+    def body():
+        if batched_impl:
+            # natively-batched model: one trunk conv per block for the whole
+            # batch (required by the Pallas fused conv; also batches the GRU
+            # matmuls over B*L columns)
+            x2 = jax.vmap(features)(alnmat, nseqs, nres, dmap_channel)
+            return gruresnet.forward_batched(
+                params, alnmat, x2, nseqs, nres, nloops, refine_steps,
+                compute_dtype=compute_dtype, fused_conv=fused_conv,
+                refine_impl=refine_impl, vgru_impl=vgru_impl,
+                rgru_impl=rgru_impl, canonical_signs=canonical_signs,
+            )
 
-    def one(aln, ns, nr, dmap):
-        x2 = features(aln, ns, nr, dmap)
-        return gruresnet.forward(params, aln, x2, ns, nr, nloops, refine_steps,
-                                 compute_dtype=compute_dtype, vgru_impl=vgru_impl,
-                                 fused_conv=fused_conv)
+        def one(aln, ns, nr, dmap):
+            x2 = features(aln, ns, nr, dmap)
+            return gruresnet.forward(params, aln, x2, ns, nr, nloops,
+                                     refine_steps, compute_dtype=compute_dtype,
+                                     vgru_impl=vgru_impl, fused_conv=fused_conv,
+                                     canonical_signs=canonical_signs)
 
-    # note: the vmapped fallback keeps rgru_impl="scan" — the Pallas sequence
-    # kernel has no batching rule; the natively-batched path above is the one
-    # that benefits (kernel batch dim = targets)
+        # note: the vmapped fallback keeps rgru_impl="scan" — the Pallas
+        # sequence kernel has no batching rule; the natively-batched path
+        # above is the one that benefits (kernel batch dim = targets)
+        return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres,
+                                                    dmap_channel)
 
-    return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres, dmap_channel)
+    if precision == "fp32_strict":
+        with jax.default_matmul_precision("highest"):
+            return body()
+    return body()
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
@@ -164,37 +178,33 @@ class BatchFolder:
             return 1
         return self.mesh.shape.get("data", 1)
 
+    # implementation policies shared with the single-target engine
+    # (engine/fold.py resolve_*), so batch and requeue paths can never drift
+
     def _vgru_impl(self) -> str:
-        if self.vgru_impl != "auto":
-            return self.vgru_impl
-        if jax.default_backend() == "tpu":
-            return "pallas"
-        return "scan"
+        from ..engine.fold import resolve_vgru_impl
+
+        return resolve_vgru_impl(self.vgru_impl)
 
     def _dca_method(self) -> str:
-        if self.dca_method != "auto":
-            return self.dca_method
-        # MXU-resident recursive Schur inverse (see engine.fold.Folder)
-        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
-            return "schur"
-        return "cholesky"
+        from ..engine.fold import resolve_dca_method
+
+        return resolve_dca_method(self.dca_method, self.precision)
 
     def _fused_conv(self):
-        # "norm" = fully-fused conv+bias+maxout+InstanceNorm (inference)
-        if self.precision == "bf16" and jax.default_backend() == "tpu":
-            return "norm"
-        return False
+        from ..engine.fold import resolve_fused_conv
+
+        return resolve_fused_conv(self.precision)
 
     def _refine_impl(self) -> str:
-        if jax.default_backend() == "tpu":
-            return "pallas"
-        return "xla"
+        from ..engine.fold import resolve_refine_impl
+
+        return resolve_refine_impl()
 
     def _rgru_impl(self) -> str:
-        # fused residue-GRU sequence kernel (kernels/rgru.py)
-        if jax.default_backend() == "tpu" and self.precision != "fp32_strict":
-            return "pallas"
-        return "scan"
+        from ..engine.fold import resolve_rgru_impl
+
+        return resolve_rgru_impl(self.precision)
 
     def global_counters(self) -> Counters:
         """Cluster-wide throughput: per-process counters summed across hosts.
@@ -221,8 +231,10 @@ class BatchFolder:
     def _fold_single(self, target: Target, iterations: int, minsteps: int):
         from ..engine.fold import Folder
 
+        # forward every impl knob so a requeued target folds with the same
+        # numerics (and the same workaround settings) as its batchmates
         folder = Folder(self.params, precision=self.precision,
-                        dca_method=self.dca_method)
+                        dca_method=self.dca_method, vgru_impl=self.vgru_impl)
         return folder.fold(target.alnmat, target.template_ca, iterations, minsteps)
 
     # how many batches may be in flight at once: depth 2 overlaps host-side
@@ -253,10 +265,13 @@ class BatchFolder:
             n_pad, l_pad = bucket_shape(*t.alnmat.shape)
             groups.setdefault((n_pad, l_pad), []).append(i)
 
-        if self.mesh is not None:
-            # replicate weights once per run, not per batch (multi-process
-            # safe: each host contributes its local devices' copies)
+        if self.mesh is not None and getattr(self, "_placed_mesh", None) is not self.mesh:
+            # replicate weights once per FOLDER (multi-process safe: each
+            # host contributes its local devices' copies). Re-placing on
+            # every call would round-trip the full ~140 MB tree through the
+            # host (np.asarray fetch + re-upload) per fold_many invocation.
             self.params = put_global(self.params, replicated(self.mesh))
+            self._placed_mesh = self.mesh
 
         statics = dict(
             dca_method=self._dca_method(), precision=self.precision,

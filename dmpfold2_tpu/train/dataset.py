@@ -72,7 +72,9 @@ def parse_tdb(path: str):
     classes, coords = [], []
     with open(path) as fh:
         for line in fh:
-            if line.startswith("#"):
+            # skip comments AND blank lines (the native parser does; the two
+            # paths must accept identical inputs)
+            if line.startswith("#") or not line.strip():
                 continue
             classes.append(_AA_NUM.get(line[5], 21))
             atoms = [

@@ -21,6 +21,9 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 
+_sink_broken = False
+
+
 def _sink():
     path = os.environ.get("DMPFOLD2_TPU_LOG")
     if path:
@@ -41,10 +44,23 @@ def log_target(name: str, nseqs: int, nres: int, bucket, seconds: float,
         "ts": time.time(),
     }
     record.update(extra)
-    sink = _sink()
-    print(json.dumps(record), file=sink, flush=True)
-    if sink is not sys.stderr:
-        sink.close()
+    # observability must never sink the run: a bad DMPFOLD2_TPU_LOG path or
+    # a full disk degrades to stderr (once-warned), not to an exception
+    # thrown into the folding loop
+    global _sink_broken
+    try:
+        if _sink_broken:
+            raise OSError("log sink previously failed")
+        sink = _sink()
+        print(json.dumps(record), file=sink, flush=True)
+        if sink is not sys.stderr:
+            sink.close()
+    except OSError as exc:
+        if not _sink_broken:
+            print(f"dmpfold2_tpu: log sink failed ({exc}); falling back to "
+                  "stderr", file=sys.stderr)
+            _sink_broken = True
+        print(json.dumps(record), file=sys.stderr, flush=True)
 
 
 @dataclass

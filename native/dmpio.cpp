@@ -11,6 +11,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this toolchain).
 
+#include <charconv>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -48,10 +49,16 @@ struct AaNumTable {
 const AaNumTable kAaNum;
 
 inline float parse_f9(const char* p) {
-    char buf[10];
-    std::memcpy(buf, p, 9);
-    buf[9] = '\0';
-    return static_cast<float>(std::strtod(buf, nullptr));
+    // std::from_chars is locale-independent — strtod would parse "12.345"
+    // as 12.0 under locales whose decimal separator is ',' (the Python
+    // fallback's float() never depends on locale, and the two paths must
+    // stay byte-identical)
+    const char* b = p;
+    const char* e = p + 9;
+    while (b < e && *b == ' ') ++b;
+    double v = 0.0;
+    std::from_chars(b, e, v);
+    return static_cast<float>(v);
 }
 
 }  // namespace
@@ -67,7 +74,10 @@ int dmpio_encode_aln(const char* text, int64_t text_len, int32_t max_seqs,
     int64_t pos = 0;
     int32_t nres = -1, nseqs = 0;
     int64_t written = 0;
-    while (pos < text_len && (max_seqs <= 0 || nseqs < max_seqs)) {
+    // scan EVERY line: rows past the cap are still length-validated (the
+    // Python fallback validates all rows before capping, and the two paths
+    // must accept/reject identical inputs), they just aren't stored
+    while (pos < text_len) {
         int64_t eol = pos;
         while (eol < text_len && text[eol] != '\n') ++eol;
         int64_t end = eol;
@@ -78,11 +88,13 @@ int dmpio_encode_aln(const char* text, int64_t text_len, int32_t max_seqs,
         if (len > 0 && text[pos] != '>') {
             if (nres < 0) nres = static_cast<int32_t>(len);
             else if (len != nres) return -2;
-            if (written + nres > out_capacity) return -3;
-            for (int64_t i = 0; i < nres; ++i)
-                out[written + i] = kTable.map[static_cast<uint8_t>(text[pos + i])];
-            written += nres;
-            ++nseqs;
+            if (max_seqs <= 0 || nseqs < max_seqs) {
+                if (written + nres > out_capacity) return -3;
+                for (int64_t i = 0; i < nres; ++i)
+                    out[written + i] = kTable.map[static_cast<uint8_t>(text[pos + i])];
+                written += nres;
+                ++nseqs;
+            }
         }
         pos = eol + 1;
     }

@@ -55,6 +55,40 @@ def test_native_aln_fasta_headers_and_gaps():
     assert list(out[1]) == [20, 20, 20, 20, 20]
 
 
+def test_native_aln_ragged_row_beyond_cap_rejected():
+    """Rows past the cap are still length-validated (the Python path encodes
+    every row before capping): both paths must reject the same inputs."""
+    text = b"\n".join([b"AAAA"] * 6 + [b"AAAAAAA"]) + b"\n"
+    with pytest.raises(ValueError):
+        native.encode_aln_bytes(text, 4)
+    with pytest.raises(ValueError):
+        aln.encode_rows([r.decode() for r in text.split(b"\n") if r])
+
+
+def test_native_tdb_blank_lines_match_python(tmp_path):
+    """Blank lines inside a tdb file are skipped identically by the native
+    parser and the Python fallback."""
+    from dmpfold2_tpu.train import dataset as ds
+
+    line = (" " * 5 + "A" + " " * 33
+            + "".join(f"{v:9.3f}" for v in np.arange(15) * 0.5))
+    path = tmp_path / "b.tdb"
+    path.write_text("# c\n" + line + "\n\n" + line + "\n\n")
+
+    ncls, ncoords = native.parse_tdb_bytes(path.read_bytes())
+    assert ncls.shape == (2,)
+
+    # force the pure-Python fallback
+    orig = native.available
+    try:
+        native.available = lambda: False
+        pcls, pcoords = ds.parse_tdb(str(path))
+    finally:
+        native.available = orig
+    np.testing.assert_array_equal(pcls, ncls)
+    np.testing.assert_allclose(pcoords, ncoords)
+
+
 def test_native_tdb_matches_python(tmp_path):
     from dmpfold2_tpu.train.dataset import parse_tdb
 
