@@ -40,7 +40,12 @@ def measure_reference_cpu() -> float:
     """
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fh:
-            return json.load(fh)["pf10963_default_s"]
+            cached = json.load(fh)
+        # only trust the cache if it was measured under the current config —
+        # a stale cache would silently compare mismatched workloads
+        if cached.get("config") == [ITERATIONS, MINSTEPS, EXAMPLE_ALN]:
+            return cached["pf10963_default_s"]
+        log("cached reference baseline was for a different config; remeasuring")
 
     sys.path.insert(0, "/root/reference")
     import torch
@@ -80,6 +85,7 @@ def measure_reference_cpu() -> float:
     with open(BASELINE_FILE, "w") as fh:
         json.dump({"pf10963_default_s": best,
                    "host": os.uname().nodename,
+                   "config": [ITERATIONS, MINSTEPS, EXAMPLE_ALN],
                    "note": "reference torch-CPU, random weights, best of 2"}, fh, indent=1)
     log(f"reference torch-CPU default fold: {best:.2f}s (cached to BENCH_BASELINE.json)")
     return best
@@ -123,9 +129,13 @@ def measure_ours(params) -> dict:
         "template_n30_m200": (folder, 30, 200, template),
     }
     for name, (f, it, ms, tmpl) in configs.items():
+        # iterations/minsteps are traced scalars, so configs sharing a folder
+        # also share one compiled program — this first call only pays
+        # compilation when the (folder, bucket) pair is cold
         t0 = time.perf_counter()
         f.fold(alnmat, template_ca=tmpl, iterations=it, minsteps=ms)
-        log(f"{name}: first call (compile+run) {time.perf_counter() - t0:.1f}s")
+        log(f"{name}: warm-up call {time.perf_counter() - t0:.1f}s "
+            "(includes compile only if this program was cold)")
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -229,8 +239,12 @@ def main():
     ref = measure_reference_cpu()
 
     # MFU accounting (analytic dense FLOPs / wall-clock / v5e bf16 peak).
-    # PF10963 pads to its bucket; the batched metric uses the same bucket.
-    n_pad, l_pad = bucket_shape(252, 82)
+    # The example target pads to its bucket; the batched metric uses the
+    # same bucket. Shapes derive from the parsed alignment so pointing
+    # EXAMPLE_ALN elsewhere keeps FLOPs and wall-clock consistent.
+    from dmpfold2_tpu.utils.aln import parse_aln as _parse_aln
+
+    n_pad, l_pad = bucket_shape(*_parse_aln(EXAMPLE_ALN).shape)
     flops_default = fold_flops(n_pad, l_pad, ITERATIONS, MINSTEPS)
     flops_long = fold_flops(*bucket_shape(3000, 720), 30, 100)
     result = {

@@ -60,8 +60,9 @@ def steric_loss(ca_coords, nres=None):
     clash = jnp.sum(jnp.where(triu & pair_valid, jax.nn.relu(9.0 - dsq), 0.0))
 
     adj_valid = idx[:-1] + 1 < nres
+    # the 1e-16 floor inside sqrt keeps the backward pass finite at
+    # coincident CAs (sqrt'(0) = inf); its output is already >= 1e-8
     adj_d = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(ca_coords[1:] - ca_coords[:-1]), 1), 1e-16))
-    adj_d = jnp.maximum(adj_d, 1e-8)
     bond = jnp.sum(jnp.where(adj_valid, jnp.square(adj_d - COV_DIST), 0.0)) / 64.0
 
     return jnp.tanh(clash + bond)

@@ -34,7 +34,14 @@ AA3 = [
 
 
 def encode_rows(rows: list[str]) -> np.ndarray:
-    """Encode alignment rows (equal-length strings) to an (nseqs, nres) uint8 array."""
+    """Encode alignment rows (equal-length strings) to an (nseqs, nres) uint8 array.
+
+    Characters outside the 28-char table (lowercase a3m insertion states,
+    '*', digits, ...) fail loudly: silently passing them through (as the
+    reference's translate does) yields class indices >= NUM_CLASSES that the
+    network's one-hot treats as absent residues — a plausible-looking but
+    wrong structure with no error.
+    """
     if not rows:
         raise ValueError("empty alignment")
     length = len(rows[0])
@@ -43,6 +50,12 @@ def encode_rows(rows: list[str]) -> np.ndarray:
             raise ValueError("alignment rows have unequal lengths")
     joined = "".join(rows).translate(_TRANS).encode("latin-1")
     mat = np.frombuffer(joined, dtype=np.uint8) - ord("A")
+    if mat.size and mat.max() >= NUM_CLASSES:
+        bad = chr(ord("A") + int(mat.max()))
+        raise ValueError(
+            f"alignment contains characters outside the amino-acid alphabet "
+            f"(e.g. {bad!r} after translation) — lowercase rows suggest an "
+            f"a3m file; rename to .a3m or convert with a3m_to_rows()")
     return mat.reshape(len(rows), length)
 
 

@@ -79,7 +79,14 @@ def encode_aln_bytes(text: bytes, max_seqs: int = 0):
     )
     if rc != 0:
         raise ValueError(f"dmpio_encode_aln failed with code {rc}")
-    return out[: nseqs.value * nres.value].reshape(nseqs.value, nres.value).copy()
+    mat = out[: nseqs.value * nres.value].reshape(nseqs.value, nres.value).copy()
+    if mat.size and mat.max() >= 22:
+        # same out-of-alphabet rejection as the Python encoder (utils/aln.py
+        # encode_rows) — the two paths must accept identical inputs
+        raise ValueError(
+            "alignment contains characters outside the amino-acid alphabet "
+            "— lowercase rows suggest an a3m file; rename to .a3m")
+    return mat
 
 
 def parse_tdb_bytes(text: bytes, max_residues: int = 100000):

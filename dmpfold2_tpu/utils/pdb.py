@@ -26,6 +26,11 @@ def parse_template_ca(path: str) -> np.ndarray:
     with open(path) as fh:
         for line in fh:
             if line[:4] == "ATOM" and line[12:16] == " CA ":
+                # keep only the primary conformer: alternate-location CA
+                # records (altLoc column 17 = 'B', 'C', ...) would duplicate
+                # residues and trip the template-length validation
+                if len(line) > 16 and line[16] not in (" ", "A"):
+                    continue
                 coords.append(
                     np.array(
                         [float(line[30:38]), float(line[38:46]), float(line[46:54])],
