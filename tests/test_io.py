@@ -44,6 +44,40 @@ def test_parse_template_ca():
     assert coords.dtype == np.float32
 
 
+def test_out_of_alphabet_rejected():
+    """Lowercase a3m residues (or any non-alphabet character) in an aln body
+    must fail loudly, not encode to silent garbage classes."""
+    with pytest.raises(ValueError, match="alphabet"):
+        aln.encode_rows(["ARNDa"])
+    with pytest.raises(ValueError, match="alphabet"):
+        aln.encode_rows(["ARND*"])
+
+
+def test_template_altloc_conformers_deduplicated(tmp_path):
+    """Alternate-location CA records must not duplicate residues (they would
+    trip the engine's template-length validation on valid structures)."""
+    atom = ("ATOM      2  CA {alt}ALA A   1   "
+            "  11.104  13.207   2.100  1.00  0.00           C")
+    lines = [atom.format(alt=" "), atom.format(alt="A"), atom.format(alt="B")]
+    p = tmp_path / "t.pdb"
+    p.write_text("\n".join(lines) + "\nEND\n")
+    coords = pdb.parse_template_ca(str(p))
+    assert coords.shape[0] == 2  # blank + 'A' kept, 'B' dropped
+
+
+def test_policy_resolution_fidelity():
+    """fp32_strict must resolve to the reference-faithful implementations on
+    every backend (shared policy helpers, engine/fold.py)."""
+    from dmpfold2_tpu.engine.fold import (resolve_dca_method,
+                                          resolve_fused_conv,
+                                          resolve_rgru_impl)
+
+    assert resolve_dca_method("auto", "fp32_strict") == "cholesky"
+    assert resolve_rgru_impl("fp32_strict") == "scan"
+    assert resolve_fused_conv("fp32_strict") is False
+    assert resolve_dca_method("lu", "bf16") == "lu"  # explicit wins
+
+
 def test_pdb_writer_format():
     coords = np.zeros((2, 5, 3), dtype=np.float32)
     coords[1, 1] = [1.234, -5.678, 99.999]
