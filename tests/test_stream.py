@@ -37,6 +37,19 @@ def test_batch_matches_single(params, targets):
         np.testing.assert_allclose(bc, sc, atol=1e-2)
 
 
+def test_batch_fp32_strict_matches_single(params, targets):
+    """The fidelity mode must produce the same results through the batch
+    engine as through the single-target engine (raw eigenvector signs +
+    highest matmul precision apply to both — they drifted once)."""
+    single = Folder(params, precision="fp32_strict")
+    batched = BatchFolder(params, batch_size=2, precision="fp32_strict")
+    batch_results = batched.fold_many(targets[:3], iterations=1, minsteps=3)
+    for t, (bc, bf) in zip(targets[:3], batch_results):
+        sc, sf = single.fold(t.alnmat, iterations=1, minsteps=3)
+        np.testing.assert_allclose(bf, sf, atol=1e-4)
+        np.testing.assert_allclose(bc, sc, atol=1e-2)
+
+
 def test_batch_dp_mesh(params, targets):
     mesh = make_mesh(4, 1, devices=jax.devices()[:4])
     batched = BatchFolder(params, mesh=mesh, batch_size=4)
