@@ -24,7 +24,6 @@ class FoldConfig:
     dca_method: str = "auto"         # "lu" | "cholesky" | "schur" | "blocked"
     use_buckets: bool = True
     vgru_impl: str = "auto"          # "pallas" | "scan" | "auto"
-    batch_size: int | None = None    # BatchFolder micro-batch per step
 
     @classmethod
     def from_cli_args(cls, args) -> "FoldConfig":
@@ -36,7 +35,7 @@ class FoldConfig:
             weights_file=args.model_weights,
         )
         # TPU-native knobs are optional CLI additions (reference has 6 flags)
-        for name in ("precision", "dca_method", "vgru_impl", "batch_size"):
+        for name in ("precision", "dca_method", "vgru_impl"):
             if getattr(args, name, None) is not None:
                 setattr(cfg, name, getattr(args, name))
         return cfg

@@ -32,7 +32,13 @@ def save_params(path: str, params) -> None:
 
 
 def partial_restore(params, path: str):
-    """Load a params .npz, keeping only shape-matching leaves (train.py:261-262)."""
+    """Load a params .npz, keeping only shape-matching leaves (train.py:261-262).
+
+    Restored leaves are cast to the skeleton's dtype so a checkpoint written
+    under a different storage dtype can't silently produce a mixed-dtype
+    parameter tree (which would change jit signatures and optimizer
+    promotion rules without any report).
+    """
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     leaves = []
@@ -40,7 +46,7 @@ def partial_restore(params, path: str):
     for kp, leaf in flat:
         key = jax.tree_util.keystr(kp)
         if key in data and data[key].shape == leaf.shape:
-            leaves.append(jnp.asarray(data[key]))
+            leaves.append(jnp.asarray(data[key], dtype=leaf.dtype))
             n_loaded += 1
         else:
             leaves.append(leaf)
@@ -55,7 +61,11 @@ def save_train_state(workdir: str, epoch: int, opt_state, val_err_min: float,
     against, so resume must restore BOTH, not opt_state over best-train or
     fresh random weights."""
     if params is not None:
-        save_params(os.path.join(workdir, LATEST), params)
+        # stamp the epoch into the params file: a crash between the two
+        # writes would otherwise silently pair epoch-N params with epoch-N-1
+        # optimizer state at resume (loop.py warns on mismatch)
+        weights_mod.save_params(os.path.join(workdir, LATEST), params,
+                                extra={"__epoch__": np.int64(epoch)})
     state = {
         "epoch": epoch,
         "opt_state": jax.tree.map(np.asarray, opt_state),

@@ -27,12 +27,15 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..config import TrainConfig
 from ..engine.buckets import bucket_shape
 from ..utils.aln import encode_rows
 
-BATCH_SIZE = 32          # reference train.py:21
-MAXALNSZ = 300 * 1000    # reference train.py:24
-DEF_CROPLEN = 350        # reference train.py:27
+# single source of these reference constants: config.TrainConfig
+# (reference train.py:21-49)
+BATCH_SIZE = TrainConfig.batch_size
+MAXALNSZ = TrainConfig.max_aln_size
+DEF_CROPLEN = TrainConfig.crop_len
 VALIDATION_CLUSTERS = 300  # reference train.py:49
 
 _AA_NUM = {c: i for i, c in enumerate("ARNDCQEGHILKMFPSTWYV")}

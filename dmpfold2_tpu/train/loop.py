@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import TrainConfig
 from ..models import gruresnet
 from . import checkpoint as ckpt
-from .dataset import BATCH_SIZE, DMPDataset, load_cluster_list, pad_to_bucket
+from .dataset import DMPDataset, load_cluster_list, pad_to_bucket
 from .step import TrainBatch, make_optimizer, train_step
 
 
@@ -36,11 +36,18 @@ def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
 
 
 def train(data_dir: str = ".", clusters: str = "train_clust.lst",
-          workdir: str = ".", num_epochs: int = 1000, micro_batch: int = 1,
-          accum_steps: int = BATCH_SIZE, restart: bool = True,
-          refine_steps: int = 100, seed: int = 0, model_kwargs: dict | None = None,
+          workdir: str = ".", num_epochs: int = 1000,
+          micro_batch: int | None = None, accum_steps: int | None = None,
+          restart: bool | None = None, refine_steps: int | None = None,
+          seed: int = 0, model_kwargs: dict | None = None,
           mesh=None, precision: str = "fp32", cfg: TrainConfig | None = None):
+    """Explicit keyword arguments override ``cfg``; None falls back to it
+    (so a programmatic TrainConfig actually takes effect)."""
     cfg = cfg or TrainConfig()
+    micro_batch = cfg.micro_batch if micro_batch is None else micro_batch
+    accum_steps = cfg.batch_size if accum_steps is None else accum_steps
+    restart = cfg.restart if restart is None else restart
+    refine_steps = cfg.refine_steps if refine_steps is None else refine_steps
     train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
     print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
 
@@ -78,6 +85,13 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
         latest = os.path.join(workdir, ckpt.LATEST)
         if os.path.isfile(latest):
             params, n = ckpt.partial_restore(params, latest)
+            stamp = np.load(latest)
+            if ("__epoch__" in stamp
+                    and int(stamp["__epoch__"]) != state["epoch"]):
+                print(f"WARNING: {ckpt.LATEST} is from epoch "
+                      f"{int(stamp['__epoch__'])} but {ckpt.CHECKPOINT} is "
+                      f"from epoch {state['epoch']} (crash between the two "
+                      f"writes?) — optimizer moments may not match params")
             print(f"checkpoint loaded, resuming at epoch {start_epoch} "
                   f"({n} tensors from {ckpt.LATEST})")
         else:

@@ -31,8 +31,11 @@ from ..features.msa import msa_one_hot, reweight
 from ..models import gruresnet
 from .loss import fold_loss
 
-REFINE_STEPS = 100
-MAX_ITERATIONS = 3  # reference train.py:30
+from ..config import TrainConfig
+
+# single source: config.TrainConfig (reference train.py:29-30)
+REFINE_STEPS = TrainConfig.refine_steps
+MAX_ITERATIONS = TrainConfig.max_iterations
 
 
 class TrainBatch(NamedTuple):

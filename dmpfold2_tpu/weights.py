@@ -92,13 +92,17 @@ def convert_state_dict(sd, num_blocks: int = 16):
     }
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, extra: dict | None = None) -> None:
     """Save a parameter pytree as a flat ``.npz`` (native checkpoint format).
 
     Atomic: written to a temp file then renamed, so a crash/preemption mid-
     save can't truncate the best-val/best-train checkpoint a warm restart
     depends on. (np.savez appends .npz to bare paths; writing to the temp
     name explicitly keeps the final path exactly as given.)
+
+    ``extra``: metadata arrays stored under their own keys (use a ``__``
+    prefix so they can never collide with tree keys, which all start with
+    ``[``); loaders that rebuild the tree ignore them.
     """
     import os
 
@@ -106,6 +110,8 @@ def save_params(path: str, params) -> None:
 
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    if extra:
+        arrays.update({k: np.asarray(v) for k, v in extra.items()})
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)

@@ -39,13 +39,26 @@ def main():
     aln_path = args.aln or os.path.join(
         args.reference_path, "dmpfold", "example", "PF10963.aln")
 
-    from dmpfold2_tpu.engine.fold import Folder, load_weights
+    from dmpfold2_tpu.engine.fold import (Folder, _default_weight_paths,
+                                          _download_trained_model)
     from dmpfold2_tpu.utils.aln import parse_aln
+    from dmpfold2_tpu.weights import load_torch_checkpoint
 
-    # 1+3: download (if needed), convert, fold with this framework
-    params = load_weights()  # fetches the released 2-part checkpoint
+    # 1+3: download (if needed) + convert the RELEASED torch checkpoint
+    # explicitly — load_weights() would silently prefer a pre-existing
+    # trained_model/params.npz of unknown provenance, and this comparison is
+    # only meaningful when both pipelines hold the same weights
+    modeldir, paths = _default_weight_paths()
+    if not all(os.path.isfile(p) for p in paths):
+        _download_trained_model(modeldir, paths)
+    params = load_torch_checkpoint(paths)
     alnmat = parse_aln(aln_path)
-    ours_c, ours_f = Folder(params, precision="fp32_strict").fold(
+    # fp32_strict keeps raw eigenvector signs + full-fp32 matmuls; dca "lu"
+    # mirrors the reference's torch.inverse LU factorization (the default
+    # Cholesky inverse differs at ~1e-6, which 10 recycles can amplify past
+    # the tolerance and misattribute to eigh signs)
+    ours_c, ours_f = Folder(params, precision="fp32_strict",
+                            dca_method="lu").fold(
         alnmat, iterations=args.iterations, minsteps=args.minsteps)
 
     # 2: the reference's own pipeline with the same weights
