@@ -97,8 +97,11 @@ class FoldService:
         """
         self.folder.warmup(shapes=tuple(shapes) + (HEALTH_SHAPE,))
         if shapes:
+            # the alignment must land in the SAME (nseqs, nres) bucket real
+            # traffic hits — a smaller warm-up MSA would compile a different
+            # (wrong) batched program
             nseqs, nres = shapes[0]
-            aln = np.zeros((min(nseqs, 8), nres), np.uint8)
+            aln = np.zeros((nseqs, nres), np.uint8)
             for bs in sorted({2, self.max_batch}):
                 self.batcher.batch_size = bs
                 self.batcher.fold_many([Target(alnmat=aln)] * 2,
