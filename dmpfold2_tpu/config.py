@@ -22,7 +22,9 @@ class FoldConfig:
     # TPU-native knobs
     precision: str = "fp32"          # "bf16": trunk convs on the MXU in bf16
     dca_method: str = "auto"         # "lu" | "cholesky" | "schur" | "blocked"
-    use_buckets: bool = True
+    use_buckets: bool = True         # single-target engine only; the batch
+                                     # streamer always buckets (grouping
+                                     # targets by shape IS its batching)
     vgru_impl: str = "auto"          # "pallas" | "scan" | "auto"
 
     @classmethod
