@@ -196,7 +196,7 @@ def measure_long_target(params, nres: int = 720, nseqs: int = 3000,
     return best
 
 
-def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 32) -> float:
+def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 48) -> float:
     """Throughput on a Pfam-like batch (same-bucket targets, default config)."""
     from dmpfold2_tpu.parallel.stream import BatchFolder, Target
     from dmpfold2_tpu.utils.aln import parse_aln
