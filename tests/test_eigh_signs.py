@@ -33,13 +33,13 @@ def test_canonical_signs_invariant_to_library_choice():
 
     base = np.asarray(geometry.mds_coords(jnp.asarray(dm), 24, canonical_signs=True))
 
-    # the only library freedom is the sign of each eigenvector column; apply
-    # every flip pattern on a raw decomposition and re-canonicalize
+    # the only library freedom is the sign of each eigenvector column: apply
+    # ALL 2^8 flip patterns on a raw decomposition and re-canonicalize
     gram_dm = jnp.asarray(dm)
     raw = np.asarray(geometry.mds_coords(gram_dm, 24, canonical_signs=False))
-    w_scale = np.linalg.norm(raw, axis=0)  # sqrt(eigenvalues) per column
-    for trial in range(8):
-        signs = np.where(rng.integers(0, 2, 8) == 0, -1.0, 1.0).astype(np.float32)
+    for pattern in range(256):
+        signs = np.asarray(
+            [(-1.0 if pattern >> k & 1 else 1.0) for k in range(8)], np.float32)
         flipped = raw * signs
         # canonicalization recipe (largest-|component| positive), applied to
         # the flipped basis, must recover the canonical embedding exactly
@@ -47,7 +47,6 @@ def test_canonical_signs_invariant_to_library_choice():
             flipped, np.argmax(np.abs(flipped), axis=0)[None, :], axis=0)[0]
         recanon = flipped * np.where(comp < 0, -1.0, 1.0)
         np.testing.assert_array_equal(recanon, base)
-    assert w_scale.min() > 0
 
 
 @pytest.fixture(scope="module")
@@ -80,15 +79,17 @@ def _fold_with_sign_fn(params, alnmat, nseqs, nres, sign_fn, monkeypatch):
 
 
 def _aligned_rmsd(a, b):
-    """CA-trace RMSD after optimal (Kabsch) superposition incl. reflection."""
+    """CA-trace RMSD after optimal orthogonal superposition incl. reflection.
+
+    u @ vt IS the reflection-inclusive optimum; the Kabsch det-correction
+    (flipping a column when det < 0) would EXCLUDE mirrors and overstate the
+    divergence of mirrored variants, which sign flips legitimately produce.
+    """
     pa, pb = a[:, 1, :].astype(np.float64), b[:, 1, :].astype(np.float64)
     pa -= pa.mean(0)
     pb -= pb.mean(0)
     u, _, vt = np.linalg.svd(pa.T @ pb)
-    rot = (u @ vt)
-    if np.linalg.det(rot) < 0:  # allow reflection: sign flips can mirror
-        u[:, -1] *= -1
-        rot = u @ vt
+    rot = u @ vt
     return float(np.sqrt(np.mean(np.sum((pa @ rot - pb) ** 2, axis=1))))
 
 
@@ -135,27 +136,40 @@ def test_sign_flip_divergence_quantified(fullwidth_setup, monkeypatch):
         assert r["aligned_ca_rmsd"] < 40.0, (name, r)
 
 
-def test_fp32_strict_uses_raw_signs(fullwidth_setup):
+def test_fp32_strict_uses_raw_signs(fullwidth_setup, monkeypatch):
     """The fidelity mode must not canonicalize (like-for-like with the
-    reference's raw LAPACK signs): a Gram matrix whose canonical signs differ
-    from LAPACK's raw output folds differently under the two modes."""
+    reference's raw LAPACK signs). Pin the wiring with a spy: tracing the
+    (unjitted) fold body must call mds_coords with canonical_signs=False for
+    fp32_strict and True for fp32."""
     from dmpfold2_tpu.engine.fold import _fold_device
+    from dmpfold2_tpu.models import gruresnet as gm
 
     params, alnmat, nseqs, nres = fullwidth_setup
     l_pad = alnmat.shape[1]
     dmap = np.full((l_pad, l_pad), -1.0, np.float32)
 
-    out_canon = _fold_device(params, jnp.asarray(alnmat), nseqs, nres,
-                             jnp.asarray(dmap), jnp.asarray(1), jnp.asarray(5),
-                             precision="fp32")
-    out_strict = _fold_device(params, jnp.asarray(alnmat), nseqs, nres,
-                              jnp.asarray(dmap), jnp.asarray(1), jnp.asarray(5),
-                              precision="fp32_strict")
+    seen: list[bool] = []
+    orig = gm.mds_coords
+
+    def spy(dm, nres=None, n_dims=8, canonical_signs=True):
+        seen.append(bool(canonical_signs))
+        return orig(dm, nres, n_dims, canonical_signs=canonical_signs)
+
+    monkeypatch.setattr(gm, "mds_coords", spy)
+    # __wrapped__ bypasses the jit cache so the trace (and the spy) runs
+    # every call regardless of earlier compilations of the same signature
+    body = _fold_device.__wrapped__
+    args = (params, jnp.asarray(alnmat), nseqs, nres, jnp.asarray(dmap),
+            jnp.asarray(1), jnp.asarray(5))
+
+    out_strict = body(*args, precision="fp32_strict")
+    assert seen and all(s is False for s in seen), seen
+    n_strict_calls = len(seen)
+    seen.clear()
+    out_canon = body(*args, precision="fp32")
+    assert len(seen) == n_strict_calls and all(s is True for s in seen), seen
+
     c1, c2 = np.asarray(out_canon[0]), np.asarray(out_strict[0])
     assert np.all(np.isfinite(c1)) and np.all(np.isfinite(c2))
-    # they may agree if LAPACK's signs happen to be canonical for every
-    # eigenvector here; assert only that both modes run and produce valid
-    # outputs, and record whether they diverged (the modes differ in matmul
-    # precision too, so exact equality is not expected in general)
     print(f"\nfp32 vs fp32_strict max CA delta: "
           f"{float(np.abs(c1[:nres] - c2[:nres]).max()):.5f}")

@@ -51,14 +51,17 @@ def _fold_pdb_lines(full_size: bool):
     return list(pdb.format_pdb(coords, confs, alnmat[0]))
 
 
-def _compare_to_golden(lines, golden_path, coord_tol):
+def _compare_to_golden(lines, golden_path, coord_tol, conf_tol=0.02):
     golden = open(golden_path).read().splitlines()
     assert len(lines) == len(golden)
     assert lines[-1] == "END" == golden[-1]
     for got, want in zip(lines[1:-1], golden[1:-1]):
-        # fixed columns must be byte-identical
+        # fixed columns must be byte-identical; occupancy [54:60] exactly,
+        # B-factor (confidence) [60:66] numerically within conf_tol
         assert got[:30] == want[:30]
-        assert got[54:] == want[54:] or abs(float(got[60:66]) - float(want[60:66])) < 0.02
+        assert got[54:60] == want[54:60]
+        assert got[66:] == want[66:]
+        assert abs(float(got[60:66]) - float(want[60:66])) < conf_tol
         for col in range(30, 54, 8):
             assert abs(float(got[col : col + 8]) - float(want[col : col + 8])) < coord_tol
 
@@ -72,7 +75,8 @@ def test_golden_pf10963_fullsize_default():
     the exact program a production fold runs (VERDICT round-1 item 6). The
     10-recycle best-by-confidence selection and 100-step refinement amplify
     tiny numeric drift, so coordinates get a wider (still sub-Å) budget."""
-    _compare_to_golden(_fold_pdb_lines(full_size=True), GOLDEN_FULL, 0.25)
+    _compare_to_golden(_fold_pdb_lines(full_size=True), GOLDEN_FULL, 0.25,
+                       conf_tol=0.05)
 
 
 if __name__ == "__main__":

@@ -37,17 +37,31 @@ def mp_outputs(tmp_path_factory):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("DMPFOLD2_TPU_LOG", None)
+    # workers log to FILES, not pipes: with pipes, a worker blocked in a
+    # collective while its sibling fills an unread 64 KiB pipe (tracebacks,
+    # XLA warnings) deadlocks the sequential communicate() below
+    logfiles = [open(outdir / f"worker{pid}.log", "w+b") for pid in (0, 1)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, f"127.0.0.1:{port}", "2", str(pid), str(outdir)],
-            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, cwd=REPO, stdout=logfiles[pid], stderr=subprocess.STDOUT,
         )
         for pid in (0, 1)
     ]
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    finally:
+        # never leave orphaned JAX workers spinning if one side hung
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out.decode(errors="replace"))
+    for fh in logfiles:
+        fh.seek(0)
+        logs.append(fh.read().decode(errors="replace"))
+        fh.close()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     return {pid: np.load(outdir / f"proc{pid}.npz") for pid in (0, 1)}
@@ -61,7 +75,9 @@ def test_two_process_fold_results_match_single_process(mp_outputs):
     from dmpfold2_tpu.models import gruresnet
     from dmpfold2_tpu.parallel.mesh import make_mesh
     from dmpfold2_tpu.parallel.stream import BatchFolder
-    from tests.mp_worker import make_targets
+    # plain-module import: pytest puts tests/ itself on sys.path (rootdir is
+    # NOT importable as a package under the `pytest` console script)
+    from mp_worker import make_targets
 
     params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16,
                                    num_blocks=2)

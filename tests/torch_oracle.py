@@ -87,7 +87,7 @@ class OracleGRUResNet(nn.Module):
                                 num_layers=3, dropout=0.1, bidirectional=True)
         self.coord_fc = nn.Linear(width, 3, bias=False)
 
-    def _heads(self, resinp, nres):
+    def _heads(self, resinp):
         y = self.resnet(resinp)
         dm, conf = y[:, 0], y[:, 1].mean(dim=2)
         dm = torch.abs(0.5 * (dm + dm.transpose(1, 2)))
@@ -115,7 +115,7 @@ class OracleGRUResNet(nn.Module):
         pair = mat1d.unsqueeze(2) * mat1d.unsqueeze(3)
         resinp = torch.cat((pair, x2), dim=1)
 
-        dm, conf, mds = self._heads(resinp, nres)
+        dm, conf, mds = self._heads(resinp)
         ca = self._coords(mat1d, mds)
         if refine_fn is not None:
             ca = refine_fn(ca.squeeze(0)).unsqueeze(0)
@@ -124,7 +124,7 @@ class OracleGRUResNet(nn.Module):
         for _ in range(nloops):
             dmap = torch.clamp((ca - ca.transpose(0, 1)).pow(2).sum(dim=2), min=1e-8).sqrt()
             resinp = torch.cat((resinp[:, :-1], dmap[None, None]), dim=1)
-            dm, conf, mds = self._heads(resinp, nres)
+            dm, conf, mds = self._heads(resinp)
             ca = self._coords(mat1d, mds)
             if conf.mean() > best_conf.mean():
                 best_conf, best_ca = conf, ca
