@@ -89,6 +89,54 @@ def test_native_tdb_blank_lines_match_python(tmp_path):
     np.testing.assert_allclose(pcoords, ncoords)
 
 
+def test_native_aln_fuzz_parity(tmp_path):
+    """Randomized byte-level parity: the native encoder and the pure-Python
+    parser must accept/reject identical inputs and produce identical
+    matrices across messy content (headers, blank lines, trailing
+    whitespace, ragged rows, cap interaction)."""
+    from dmpfold2_tpu.utils.aln import MAX_SEQS, parse_aln
+
+    rng = np.random.default_rng(17)
+    alphabet = list("ARNDCQEGHILKMFPSTWYVBJOUXZ-.")
+    for trial in range(60):
+        n_rows = int(rng.integers(1, 12))
+        width = int(rng.integers(1, 30))
+        lines = []
+        for _ in range(n_rows):
+            if rng.random() < 0.15:
+                lines.append(">header " + "x" * int(rng.integers(0, 5)))
+                continue
+            if rng.random() < 0.1:
+                lines.append("")
+                continue
+            row_w = width + (int(rng.integers(1, 4)) if rng.random() < 0.1 else 0)
+            row = "".join(rng.choice(alphabet) for _ in range(row_w))
+            if rng.random() < 0.2:
+                row += rng.choice([" ", "\t", "\r", " \t "])
+            lines.append(row)
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.8 else "")
+        p = tmp_path / f"f{trial}.aln"
+        p.write_text(text)
+        cap = int(rng.integers(1, MAX_SEQS))
+
+        def run(use_native):
+            orig = native.available
+            try:
+                native.available = (lambda: True) if use_native else (lambda: False)
+                try:
+                    return ("ok", parse_aln(str(p), max_seqs=cap))
+                except ValueError as exc:
+                    return ("err", None)
+            finally:
+                native.available = orig
+
+        sn, mn = run(True)
+        sp, mp = run(False)
+        assert sn == sp, f"trial {trial}: native={sn} python={sp}\n{text!r}"
+        if sn == "ok":
+            np.testing.assert_array_equal(mn, mp, err_msg=f"trial {trial}")
+
+
 def test_native_tdb_matches_python(tmp_path):
     from dmpfold2_tpu.train.dataset import parse_tdb
 
