@@ -165,6 +165,41 @@ def test_native_tdb_matches_python(tmp_path):
     np.testing.assert_allclose(dcoords, ncoords)
 
 
+def test_native_tdb_fuzz_parity(tmp_path):
+    """Randomized parity for the tdb parsers: same classes/coords from the
+    native and Python paths across comments, blank lines and varied float
+    formatting in the fixed 9-char fields."""
+    from dmpfold2_tpu.train import dataset as ds
+
+    rng = np.random.default_rng(23)
+    letters = "ARNDCQEGHILKMFPSTWYVX"
+    for trial in range(25):
+        lines = []
+        n_res = int(rng.integers(1, 12))
+        for _ in range(n_res):
+            if rng.random() < 0.2:
+                lines.append("# comment")
+            if rng.random() < 0.1:
+                lines.append("")
+            row = list(" " * 39)
+            row[5] = letters[int(rng.integers(0, len(letters)))]
+            vals = rng.normal(size=15) * (10.0 ** float(rng.integers(-2, 3)))
+            lines.append("".join(row) + "".join(f"{v:9.3f}" for v in vals))
+        p = tmp_path / f"t{trial}.tdb"
+        p.write_text("\n".join(lines) + "\n")
+
+        ncls, ncoords = native.parse_tdb_bytes(p.read_bytes())
+        orig = native.available
+        try:
+            native.available = lambda: False
+            pcls, pcoords = ds.parse_tdb(str(p))
+        finally:
+            native.available = orig
+        np.testing.assert_array_equal(ncls, pcls, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(ncoords, pcoords, atol=0,
+                                   err_msg=f"trial {trial}")
+
+
 def test_native_speedup():
     with open(EXAMPLE_ALN, "rb") as fh:
         text = fh.read()
