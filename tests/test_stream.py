@@ -37,6 +37,20 @@ def test_batch_matches_single(params, targets):
         np.testing.assert_allclose(bc, sc, atol=1e-2)
 
 
+def test_broken_log_sink_does_not_abort_fold(params, targets, monkeypatch, capsys):
+    """A misconfigured DMPFOLD2_TPU_LOG (nonexistent directory) must degrade
+    to stderr, never raise into the folding loop."""
+    import dmpfold2_tpu.utils.obs as obs
+
+    monkeypatch.setenv("DMPFOLD2_TPU_LOG", "/nonexistent-dir/xyz/targets.jsonl")
+    monkeypatch.setattr(obs, "_sink_broken", False)
+    folder = BatchFolder(params, batch_size=2, verbose=True)
+    results = folder.fold_many(targets[:2], iterations=0, minsteps=1)
+    assert all(r is not None for r in results)
+    err = capsys.readouterr().err
+    assert "log sink failed" in err and "target_folded" in err
+
+
 def test_batch_fp32_strict_matches_single(params, targets):
     """The fidelity mode must produce the same results through the batch
     engine as through the single-target engine (raw eigenvector signs +
