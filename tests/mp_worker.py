@@ -8,7 +8,12 @@ to compare against a single-process run. Usage:
     python mp_worker.py <coordinator> <num_processes> <process_id> <outdir>
 """
 
+import os
 import sys
+
+# self-sufficient import path: the worker must run from a bare `python
+# tests/mp_worker.py` regardless of whether the package is pip-installed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
