@@ -74,11 +74,22 @@ def resolve_rgru_impl(precision: str) -> str:
     return "scan"
 
 
+def resolve_mds_impl(precision: str) -> str:
+    # MXU subspace iteration for the top-8 MDS eigenpairs (ops/eigh.py) in
+    # the throughput mode; fp32/fp32_strict keep the full eigh (the
+    # reference computes a full symeig, network.py:247 — exact fidelity)
+    if jax.default_backend() == "tpu" and precision == "bf16":
+        return "subspace"
+    return "eigh"
+
+
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "refine_impl", "rgru_impl"))
+                                   "fused_conv", "refine_impl", "rgru_impl",
+                                   "mds_impl"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                  dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                 fused_conv=False, refine_impl="xla", rgru_impl="scan"):
+                 fused_conv=False, refine_impl="xla", rgru_impl="scan",
+                 mds_impl="eigh"):
     """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
@@ -92,7 +103,8 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
                                  refine_steps, compute_dtype=compute_dtype,
                                  vgru_impl=vgru_impl, fused_conv=fused_conv,
                                  canonical_signs=(precision != "fp32_strict"),
-                                 refine_impl=refine_impl, rgru_impl=rgru_impl)
+                                 refine_impl=refine_impl, rgru_impl=rgru_impl,
+                                 mds_impl=mds_impl)
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -152,6 +164,7 @@ class Folder:
             dca_method=self._dca_method(), precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
             refine_impl=self._refine_impl(), rgru_impl=self._rgru_impl(),
+            mds_impl=self._mds_impl(),
         )
         # one host fetch for both outputs (each np.asarray is a separate
         # round trip on remote-device transports)
@@ -172,6 +185,9 @@ class Folder:
 
     def _rgru_impl(self) -> str:
         return resolve_rgru_impl(self.precision)
+
+    def _mds_impl(self) -> str:
+        return resolve_mds_impl(self.precision)
 
     def warmup(self, shapes=((256, 96),), iterations: int = 1, minsteps: int = 1):
         """Precompile the fold program for the given (nseqs, nres) buckets.

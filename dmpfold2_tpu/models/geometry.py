@@ -19,6 +19,12 @@ K_VDW = 100.0
 K_COV = 100.0
 STEP_SIZE = 0.001
 
+# below this pair-map size the full eigh costs the same as subspace
+# iteration (QR panel latency dominates the GEMMs), so mds_coords keeps the
+# exact path for small buckets; tests monkeypatch this to force the subspace
+# path at toy sizes
+SUBSPACE_MIN_L = 192
+
 
 def _normalize(v, eps: float = 1e-12):
     # F.normalize semantics: v / max(||v||, eps). Clamping INSIDE the sqrt
@@ -31,7 +37,8 @@ def _normalize(v, eps: float = 1e-12):
     return v / n
 
 
-def mds_coords(dm, nres=None, n_dims: int = 8, canonical_signs: bool = True):
+def mds_coords(dm, nres=None, n_dims: int = 8, canonical_signs: bool = True,
+               impl: str = "eigh"):
     """Distance-map channel -> top-``n_dims`` MDS embedding (L, n_dims).
 
     Mirrors reference network.py:241-250: symmetrize, abs, Gram matrix from
@@ -47,14 +54,43 @@ def mds_coords(dm, nres=None, n_dims: int = 8, canonical_signs: bool = True):
     compare like-for-like (the engine's ``fp32_strict`` mode does).
     Robustness of the released weights to sign flips is measured in
     tests/test_eigh_signs.py and documented in ARCHITECTURE.md.
+
+    ``impl="subspace"`` computes only the top-``n_dims`` eigenpairs via
+    MXU-resident subspace iteration (ops/eigh.py) instead of a full
+    ``eigh`` — the throughput-mode choice on TPU for large buckets, where
+    XLA's full ``eigh`` is sequential and off-MXU (5.7x faster at L=768).
+    Carries the same eps*λ_max fp32 error floor as LAPACK's syev; measured
+    ~0.5% of the coordinate scale on realistic Grams
+    (tests/test_subspace_eigh.py); inference-only (no VJP).
     """
     l_pad = dm.shape[-1]
+    if impl == "subspace" and l_pad < SUBSPACE_MIN_L:
+        # keep the exact path for small buckets — the throughput buckets'
+        # numerics stay identical to the fp32 engine's
+        impl = "eigh"
     dm = 0.5 * (dm + dm.T)
     dm = jnp.abs(dm)
     gram = 0.5 * (jnp.square(dm[0:1, :]) + jnp.square(dm[:, 0:1]) - jnp.square(dm))
     if nres is not None:
         col = jnp.arange(l_pad) < nres
         gram = gram * (col[:, None] & col[None, :])
+    if impl == "subspace":
+        from ..ops.eigh import subspace_topk
+
+        # padding handling differs from the eigh path below: the zeroed
+        # rows/cols are already invisible to the iteration (one multiply by
+        # the block matrix zeroes the start basis' padding components, and
+        # exact-zero eigenvalues never reach the algebraic top-8 ahead of
+        # positive ones), so no diagonal shift is needed.
+        w8, v8 = subspace_topk(gram, k=n_dims)
+        w8 = jnp.maximum(w8, 1e-8)
+        if canonical_signs:
+            comp = jnp.take_along_axis(
+                v8, jnp.argmax(jnp.abs(v8), axis=0)[None, :], axis=0)[0]
+            v8 = v8 * jnp.where(comp < 0, -1.0, 1.0)
+        return v8 * jnp.sqrt(w8)
+    if nres is not None:
+        col = jnp.arange(l_pad) < nres
         # distinct, very negative diagonal entries on the padded coordinates:
         # the matrix stays block-diagonal (valid spectrum preserved exactly)
         # while padding eigenpairs sink to the bottom of the sorted spectrum,

@@ -81,8 +81,9 @@ def _bigru(layers, x, valid_len, rng, rgru_impl: str):
 
 
 def _coords_head(params, mat1d, dm, nres, valid_len, *, dropout_rng=None,
-                 canonical_signs: bool = True, rgru_impl: str = "scan"):
-    mds = mds_coords(dm, nres, canonical_signs=canonical_signs)
+                 canonical_signs: bool = True, rgru_impl: str = "scan",
+                 mds_impl: str = "eigh"):
+    mds = mds_coords(dm, nres, canonical_signs=canonical_signs, impl=mds_impl)
     coordembed = jnp.concatenate([mat1d, mds], axis=1)  # (L, 520)
     gru_out = _bigru(params["coord_gru"], coordembed[:, None, :], valid_len,
                      dropout_rng, rgru_impl)[:, 0, :]
@@ -93,7 +94,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
             vgru_impl: str = "scan", fused_conv: bool = False,
             canonical_signs: bool = True, refine_impl: str = "xla",
-            rgru_impl: str = "scan"):
+            rgru_impl: str = "scan", mds_impl: str = "eigh"):
     """Run the full network.
 
     Args:
@@ -146,7 +147,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         ca = _coords_head(params, mat1d, heads.dm, nres, nres,
                           dropout_rng=coord_rng,
                           canonical_signs=canonical_signs,
-                          rgru_impl=rgru_impl)
+                          rgru_impl=rgru_impl, mds_impl=mds_impl)
         return ca, heads.conf
 
     # --- initial pass: dmap channel from x2 (template distances or -1 fill)
@@ -197,7 +198,8 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                     rngs=None, remat: bool = False,
                     compute_dtype=None, fused_conv: bool = False,
                     canonical_signs: bool = True, refine_impl: str = "xla",
-                    vgru_impl: str = "scan", rgru_impl: str = "scan"):
+                    vgru_impl: str = "scan", rgru_impl: str = "scan",
+                    mds_impl: str = "eigh"):
     """Natively-batched forward: (B, N, L) alignments -> ((B, L, 5, 3), (B, L)).
 
     Equivalent to ``vmap(forward)`` but the trunk runs on the whole stacked
@@ -254,7 +256,8 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         dm = out[..., 0]
         conf = jnp.sum(out[..., 1] * row_mask[:, None, :], axis=2) / nres_f[:, None]
         mds = jax.vmap(
-            lambda d, nr: mds_coords(d, nr, canonical_signs=canonical_signs)
+            lambda d, nr: mds_coords(d, nr, canonical_signs=canonical_signs,
+                                     impl=mds_impl)
         )(dm, nres)                                                  # (B, L, 8)
         coordembed = jnp.concatenate([mat1d, mds], axis=2)
         gru_out = _bigru(params["coord_gru"], jnp.transpose(coordembed, (1, 0, 2)),

@@ -53,7 +53,7 @@ from ..utils.obs import Counters, log_target
 def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
                       refine_steps, *, dca_method="cholesky", precision="fp32",
                       vgru_impl="scan", fused_conv=False, batched_impl=False,
-                      refine_impl="xla", rgru_impl="scan"):
+                      refine_impl="xla", rgru_impl="scan", mds_impl="eigh"):
     """Batched fold body: (B, N, L) -> ((B, L, 5, 3), (B, L)). Pure function
     of per-device-visible data — used directly under ``jit`` (single device /
     GSPMD) and as the per-shard body under ``shard_map`` (see
@@ -83,6 +83,7 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
                 compute_dtype=compute_dtype, fused_conv=fused_conv,
                 refine_impl=refine_impl, vgru_impl=vgru_impl,
                 rgru_impl=rgru_impl, canonical_signs=canonical_signs,
+                mds_impl=mds_impl,
             )
 
         def one(aln, ns, nr, dmap):
@@ -90,7 +91,8 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
             return gruresnet.forward(params, aln, x2, ns, nr, nloops,
                                      refine_steps, compute_dtype=compute_dtype,
                                      vgru_impl=vgru_impl, fused_conv=fused_conv,
-                                     canonical_signs=canonical_signs)
+                                     canonical_signs=canonical_signs,
+                                     mds_impl=mds_impl)
 
         # note: the vmapped fallback keeps rgru_impl="scan" — the Pallas
         # sequence kernel has no batching rule; the natively-batched path
@@ -106,16 +108,16 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
                                    "fused_conv", "batched_impl", "refine_impl",
-                                   "rgru_impl"))
+                                   "rgru_impl", "mds_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
                 fused_conv=False, batched_impl=False, refine_impl="xla",
-                rgru_impl="scan"):
+                rgru_impl="scan", mds_impl="eigh"):
     return _fold_batch_local(
         params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         dca_method=dca_method, precision=precision, vgru_impl=vgru_impl,
         fused_conv=fused_conv, batched_impl=batched_impl,
-        refine_impl=refine_impl, rgru_impl=rgru_impl)
+        refine_impl=refine_impl, rgru_impl=rgru_impl, mds_impl=mds_impl)
 
 
 _SHARDMAP_CACHE: dict = {}
@@ -206,6 +208,11 @@ class BatchFolder:
 
         return resolve_rgru_impl(self.precision)
 
+    def _mds_impl(self) -> str:
+        from ..engine.fold import resolve_mds_impl
+
+        return resolve_mds_impl(self.precision)
+
     def global_counters(self) -> Counters:
         """Cluster-wide throughput: per-process counters summed across hosts.
 
@@ -280,6 +287,7 @@ class BatchFolder:
             batched_impl=True,
             refine_impl=self._refine_impl(),
             rgru_impl=self._rgru_impl(),
+            mds_impl=self._mds_impl(),
         )
         trip = (jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)))
 
