@@ -62,8 +62,8 @@ def _fold_with_sign_fn(params, alnmat, nseqs, nres, sign_fn, monkeypatch):
     """Fold with mds eigenvector signs transformed by sign_fn((L,8)->(L,8))."""
     orig = geometry.mds_coords
 
-    def patched(dm, nres=None, n_dims=8, canonical_signs=True):
-        out = orig(dm, nres, n_dims, canonical_signs=False)
+    def patched(dm, nres=None, n_dims=8, canonical_signs=True, **kw):
+        out = orig(dm, nres, n_dims, canonical_signs=False, **kw)
         return sign_fn(out)
 
     monkeypatch.setattr(gruresnet, "mds_coords", patched)
@@ -151,9 +151,9 @@ def test_fp32_strict_uses_raw_signs(fullwidth_setup, monkeypatch):
     seen: list[bool] = []
     orig = gm.mds_coords
 
-    def spy(dm, nres=None, n_dims=8, canonical_signs=True):
+    def spy(dm, nres=None, n_dims=8, canonical_signs=True, **kw):
         seen.append(bool(canonical_signs))
-        return orig(dm, nres, n_dims, canonical_signs=canonical_signs)
+        return orig(dm, nres, n_dims, canonical_signs=canonical_signs, **kw)
 
     monkeypatch.setattr(gm, "mds_coords", spy)
     # __wrapped__ bypasses the jit cache so the trace (and the spy) runs
