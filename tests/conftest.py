@@ -24,3 +24,27 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # deterministic, highest-precision matmuls for parity tests on CPU
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+_exitstatus = [0]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _exitstatus[0] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    """Skip the fragile native teardown after the full suite.
+
+    With torch + jax (+ the container's axon PJRT plugin) loaded in one
+    process, interpreter exit after the FULL suite segfaults in C++ static
+    destructors — after every test has passed and all reporting is done
+    (reproduced twice; individual files exit cleanly). unconfigure runs
+    after the terminal summary, so hard-exit here with pytest's own status
+    so the teardown crash can't masquerade as a test failure.
+    """
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_exitstatus[0])

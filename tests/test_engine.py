@@ -32,7 +32,8 @@ def params():
 
 
 def test_bucket_shape():
-    assert bucket_shape(252, 82) == (256, 96)
+    assert bucket_shape(252, 82) == (256, 88)
+    assert bucket_shape(252, 89) == (256, 96)
     assert bucket_shape(3000, 1536) == (3000, 1536)
     assert bucket_shape(5000, 2000) == (5000, 2000)  # beyond buckets: exact
     assert bucket_shape(252, 82, enable=False) == (252, 82)
