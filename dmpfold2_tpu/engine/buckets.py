@@ -21,9 +21,8 @@ SEQ_BUCKETS = [16, 32, 64, 128, 256, 512, 768, 1024, 1536, 2048, 3000]
 RES_BUCKETS = (
     list(range(32, 129, 8))         # 32..128 step 8   (waste <= ~19% trunk)
     + list(range(144, 257, 16))     # 144..256 step 16
-    + list(range(288, 513, 32))     # 288..512 step 32
-    + list(range(576, 1025, 64))    # 576..1024 step 64
-    + [1280, 1536]
+    + list(range(288, 1025, 32))    # 288..1024 step 32
+    + [1152, 1280, 1408, 1536]
 )
 
 
