@@ -25,7 +25,12 @@ from jax import lax
 
 BLOCKED_THRESHOLD = 8192  # stock XLA linalg handles sizes below this fine
 DEFAULT_PANEL = 1024
-SCHUR_BASE = 504  # leaf size for the recursive Schur inverse
+# Leaf size for the recursive Schur inverse. Swept on hardware at the
+# throughput bucket's DCA size (1848², B=16): 128 is ~17% faster than 504
+# (11.4 vs 13.8 ms — smaller leaves push more of the sequential
+# cholesky/triangular-solve work into dense MXU matmuls); below 128 the
+# extra recursion levels' concat traffic wins back the loss.
+SCHUR_BASE = 128
 
 
 def schur_spd_inverse(a, base: int = SCHUR_BASE):
