@@ -196,6 +196,53 @@ def measure_long_target(params, nres: int = 720, nseqs: int = 3000,
     return best
 
 
+def measure_train_step(params, nseqs: int = 512, crop: int = 350,
+                       nloops: int = 3):
+    """One full training step (micro-batch 1, bf16 policy, natively-batched
+    fused-conv forward, backprop through nloops+1 trunk passes and 2x100
+    refinement steps) — the configuration PERFORMANCE.md reports. The
+    reference trains this workload "one to two months" on an RTX 8000
+    (reference README.md:111-117); a driver-visible step time keeps training
+    performance regressions observable."""
+    import jax
+    from dmpfold2_tpu.engine.buckets import bucket_shape
+    from dmpfold2_tpu.train.step import TrainBatch, make_optimizer, train_step
+
+    import jax.numpy as jnp
+
+    n_pad, l_pad = bucket_shape(nseqs, crop)
+    rng = np.random.default_rng(0)
+    batch = TrainBatch(
+        alnmat=jnp.asarray(rng.integers(0, 21, (1, n_pad, l_pad)), jnp.int32),
+        targets=jnp.asarray(rng.normal(size=(1, l_pad, 5, 3)) * 4, jnp.float32),
+        nseqs=jnp.full((1,), nseqs, jnp.int32),
+        nres=jnp.full((1,), crop, jnp.int32),
+    )
+    optimizer = make_optimizer(1e-4)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(0)
+
+    def step(p, s):
+        return train_step(p, s, batch, key, optimizer=optimizer,
+                          nloops=nloops, precision="bf16",
+                          native_batch=True, fused_conv=True)
+
+    t0 = time.perf_counter()
+    p1, s1, m = step(params, opt_state)
+    float(m["loss"])
+    log(f"train step (bf16, {nseqs}x{crop}, nloops={nloops}): first call "
+        f"{time.perf_counter() - t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, _, m = step(params, opt_state)
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"train step: best of 3 = {best:.2f}s")
+    return best
+
+
 def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 48) -> float:
     """Throughput on a Pfam-like batch (same-bucket targets, default config)."""
     from dmpfold2_tpu.parallel.stream import BatchFolder, Target
@@ -236,6 +283,12 @@ def main():
     ours = measure_ours(params)
     tps = measure_targets_per_s(params)
     long_s = measure_long_target(params)
+    train_s = None
+    if os.environ.get("DMPFOLD2_BENCH_NO_TRAIN") != "1":
+        try:
+            train_s = measure_train_step(params)
+        except Exception as exc:  # never let the training probe sink the bench
+            log(f"train-step benchmark failed (skipping): {exc!r:.200}")
     ref = measure_reference_cpu()
 
     # MFU accounting (analytic dense FLOPs / wall-clock / v5e bf16 peak).
@@ -260,6 +313,8 @@ def main():
             "trunk_ms_per_residue_L256": round(trunk_ms, 4),
             "trunk_bf16_ms_per_residue_L256": round(trunk_ms_bf16, 4),
             "targets_per_s_default": round(tps, 3),
+            "train_step_bf16_crop350_s": (round(train_s, 3)
+                                          if train_s is not None else None),
             "reference_cpu_default_s": round(ref, 2),
             "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
             "mfu_default_bf16": round(mfu(flops_default, ours["default_bf16"]), 4),
