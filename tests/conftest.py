@@ -20,10 +20,25 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("DMPFOLD2_TPU_NO_CACHE", "1")
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 # deterministic, highest-precision matmuls for parity tests on CPU
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of CPU programs; with all of them (and
+    torch) resident, a later large compile segfaults inside XLA:CPU's
+    backend_compile (reproduced at tests/test_train.py's backprop program —
+    the same test passes standalone). Clearing per module keeps peak
+    compiler/executable state bounded without losing intra-module caching.
+    """
+    yield
+    jax.clear_caches()
 
 
 _exitstatus = [0]
@@ -37,11 +52,11 @@ def pytest_unconfigure(config):
     """Skip the fragile native teardown after the full suite.
 
     With torch + jax (+ the container's axon PJRT plugin) loaded in one
-    process, interpreter exit after the FULL suite segfaults in C++ static
-    destructors — after every test has passed and all reporting is done
-    (reproduced twice; individual files exit cleanly). unconfigure runs
-    after the terminal summary, so hard-exit here with pytest's own status
-    so the teardown crash can't masquerade as a test failure.
+    process, interpreter exit after the FULL suite has been seen to
+    segfault in C++ static destructors even with every test green
+    (individual files exit cleanly). unconfigure runs after the terminal
+    summary, so hard-exit here with pytest's own status so a teardown
+    crash can't masquerade as a test failure.
     """
     import sys
 
