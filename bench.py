@@ -283,8 +283,12 @@ def main():
     ours = measure_ours(params)
     tps = measure_targets_per_s(params)
     long_s = measure_long_target(params)
+    # opt-in: the crop-350 backprop program compiles in ~14 min on the
+    # tunneled chip and the persistent cache does not rescue it (the large
+    # donated-buffer executable fails to serialize), so the default bench
+    # stays fast; measured 2026-08-19: first call 862 s, then 1.68 s/step.
     train_s = None
-    if os.environ.get("DMPFOLD2_BENCH_NO_TRAIN") != "1":
+    if os.environ.get("DMPFOLD2_BENCH_TRAIN") == "1":
         try:
             train_s = measure_train_step(params)
         except Exception as exc:  # never let the training probe sink the bench
