@@ -124,6 +124,8 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
 
 def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
                with_argmax: bool) -> int:
+    """Largest row-band that fits the VMEM budget; 0 if even one row does
+    not fit (callers must fall back to the XLA conv path then)."""
     # budget by total VMEM: fp32 accumulator + window + KSIZE shifted
     # bf16 buffers + weights + output band, within ~12 MB of the 16 MB VMEM
     l_al = -(-l_cols // 8) * 8
@@ -139,12 +141,29 @@ def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
         out = t * l_cols * (c_out // pool) * out_bytes
         if acc + win + shifted + weights + out <= 12 * 2 ** 20:
             return t
-    return 1
+    return 0
+
+
+def fused_fits(l_cols: int, c_out: int = 512, c_in: int = 128, pool: int = 4,
+               with_argmax: bool = False) -> bool:
+    """Whether the fused kernel's smallest band fits VMEM at this row width.
+
+    The kernel holds one full output row (plus KSIZE dx-shifted input rows)
+    resident, so beyond L ≈ 1000 even a one-row band overflows the 16 MB
+    VMEM (measured: L=1536 fails Mosaic compilation). maxout2d/resnet_block
+    consult this and keep the XLA conv path for such sizes — those long
+    targets are also exactly the regime served by seq-axis sharding.
+    """
+    return _pick_band(l_cols, c_out, c_in, pool, with_argmax) > 0
 
 
 def _divisor_band(tall: int, l_cols: int, c_out: int, c_in: int, pool: int,
                   with_argmax: bool) -> int:
     budget = _pick_band(l_cols, c_out, c_in, pool, with_argmax)
+    if budget <= 0:
+        raise ValueError(
+            f"fused conv band does not fit VMEM at row width {l_cols}; "
+            "gate callers with kernels.conv_block.fused_fits()")
     for t in range(budget, 0, -1):
         if tall % t == 0:
             return t

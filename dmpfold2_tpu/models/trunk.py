@@ -98,6 +98,17 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
     }
 
 
+def _fused_fits(maxout_p, x, with_argmax: bool = False) -> bool:
+    """VMEM-fit gate for the fused conv kernel at this row width (the kernel
+    holds full rows resident; beyond L~900 even a one-row band overflows —
+    see kernels.conv_block.fused_fits). Such targets keep the XLA conv.
+    ``with_argmax``: the differentiable path also banks the argmax residual."""
+    from ..kernels.conv_block import fused_fits
+
+    return fused_fits(x.shape[2], c_out=maxout_p["w"].shape[-1],
+                      c_in=maxout_p["w"].shape[-2], with_argmax=with_argmax)
+
+
 def _mask_nres(mask):
     """Per-target valid length from a pair mask.
 
@@ -127,6 +138,9 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
     use_fused = (
         fused_conv and ksize == KSIZE_FUSED and dilation == 1
         and compute_dtype == jnp.bfloat16 and _sharding_inactive()
+        # the non-"norm" path runs the differentiable kernel, whose VJP
+        # additionally banks the int32 argmax residual in the band
+        and _fused_fits(params, x, with_argmax=(fused_conv != "norm"))
     )
     if use_fused and fused_conv == "norm":
         # inference-only fully-fused path: conv+bias+maxout+InstanceNorm in
@@ -247,7 +261,8 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
     """Residual block (reference: dmpfold/network.py:85-103)."""
     if (fused_conv == "norm" and dropout_rng is None and dilation == 1
             and params["maxout"]["w"].shape[0] == KSIZE_FUSED
-            and compute_dtype == jnp.bfloat16 and _sharding_inactive()):
+            and compute_dtype == jnp.bfloat16 and _sharding_inactive()
+            and _fused_fits(params["maxout"], x)):
         return _resnet_block_fused_norm(params, x, mask)
     if fused_conv == "norm":
         # the fully-fused path didn't qualify (e.g. training dropout): fall

@@ -353,3 +353,28 @@ def test_fused_conv_in_trunk_interpret(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.1
     )
+
+
+def test_fused_conv_vmem_fit_gate():
+    """Beyond L~900 even a one-row band of the fused conv overflows VMEM
+    (measured: L=1536 fails Mosaic compilation on hardware). fused_fits
+    must report it and maxout2d/resnet_block must keep the XLA path."""
+    from dmpfold2_tpu.kernels.conv_block import _divisor_band, _pick_band, fused_fits
+
+    assert fused_fits(96) and fused_fits(736) and fused_fits(896)
+    assert not fused_fits(896, with_argmax=True)  # diff path banks argmax too
+    assert not fused_fits(960) and not fused_fits(1536)
+    assert _pick_band(1536, 512, 128, 4, False) == 0
+    with pytest.raises(ValueError):
+        _divisor_band(1536, 1536, 512, 128, 4, False)
+
+    # the model-level gate routes oversize rows away from the kernel: this
+    # would die in pallas_call on the CPU backend if the gate failed open
+    # (tiny channel count keeps the XLA fallback conv cheap; the fit math is
+    # evaluated with the real 128->512 geometry above)
+    from dmpfold2_tpu.models.trunk import _fused_fits
+
+    p = {"w": jnp.zeros((5, 5, 128, 512)), "b": jnp.zeros((512,))}
+    x = jnp.zeros((1, 1536, 1536, 128), jnp.bfloat16)
+    assert not _fused_fits(p, x)
+    assert _fused_fits(p, jnp.zeros((1, 96, 96, 128), jnp.bfloat16))
