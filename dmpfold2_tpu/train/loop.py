@@ -243,10 +243,43 @@ def main(argv=None):
     ap.add_argument("--refine-steps", type=int, default=cfg.refine_steps)
     ap.add_argument("--no-restart", action="store_true")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    # model geometry (flagship defaults; smaller values for experiments —
+    # warm restart is shape-filtered, so architecture sweeps stay restartable)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--cwidth", type=int, default=128)
+    ap.add_argument("--num-blocks", type=int, default=16)
+    ap.add_argument("--mesh", default=None, metavar="DATA[xSEQ]",
+                    help="train over a device mesh, e.g. '8' or '4x2'; "
+                         "'auto' = all devices data-parallel")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-process training: jax.distributed coordinator "
+                         "(every host runs the same command with its own "
+                         "--process-id; on TPU pods the cluster env is "
+                         "auto-detected and only --mesh is needed)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.coordinator is not None or args.mesh is not None:
+        from ..parallel.mesh import initialize_distributed, make_mesh
+
+        if args.coordinator is not None:
+            initialize_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
+            if args.mesh is None:
+                args.mesh = "auto"  # span the whole slice by default
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            n_data, _, n_seq = args.mesh.partition("x")
+            mesh = make_mesh(int(n_data), int(n_seq or 1))
+
     train(args.data_dir, args.clusters, args.workdir, args.epochs,
           args.micro_batch, args.accum_steps, restart=not args.no_restart,
-          refine_steps=args.refine_steps, precision=args.precision)
+          refine_steps=args.refine_steps, precision=args.precision, mesh=mesh,
+          model_kwargs=dict(width=args.width, cwidth=args.cwidth,
+                            num_blocks=args.num_blocks))
 
 
 if __name__ == "__main__":

@@ -227,3 +227,18 @@ def test_train_loop_mesh_pads_odd_batches(data_dir, tmp_path):
         refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
         mesh=mesh,
     )
+
+
+def test_train_cli_mesh_flag(data_dir, tmp_path):
+    """`python -m dmpfold2_tpu.train.loop --mesh 2x1` builds the mesh and
+    trains over it (the CLI path the multi-process launch docs describe)."""
+    from dmpfold2_tpu.train.loop import main
+
+    main([
+        "--data-dir", data_dir, "--clusters", "clusters.lst",
+        "--workdir", str(tmp_path), "--epochs", "1", "--micro-batch", "2",
+        "--accum-steps", "1", "--refine-steps", "2", "--no-restart",
+        "--width", "16", "--cwidth", "8", "--num-blocks", "2",
+        "--mesh", "2x1",
+    ])
+    assert (tmp_path / ckpt.CHECKPOINT).exists()
