@@ -98,7 +98,7 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
     }
 
 
-def _fused_fits(maxout_p, x, with_argmax: bool = False) -> bool:
+def _fused_fits(maxout_p, x, pool: int = 4, with_argmax: bool = False) -> bool:
     """VMEM-fit gate for the fused conv kernel at this row width (the kernel
     holds full rows resident; beyond L~900 even a one-row band overflows —
     see kernels.conv_block.fused_fits). Such targets keep the XLA conv.
@@ -106,7 +106,8 @@ def _fused_fits(maxout_p, x, with_argmax: bool = False) -> bool:
     from ..kernels.conv_block import fused_fits
 
     return fused_fits(x.shape[2], c_out=maxout_p["w"].shape[-1],
-                      c_in=maxout_p["w"].shape[-2], with_argmax=with_argmax)
+                      c_in=maxout_p["w"].shape[-2], pool=pool,
+                      with_argmax=with_argmax)
 
 
 def _mask_nres(mask):
@@ -140,7 +141,7 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
         and compute_dtype == jnp.bfloat16 and _sharding_inactive()
         # the non-"norm" path runs the differentiable kernel, whose VJP
         # additionally banks the int32 argmax residual in the band
-        and _fused_fits(params, x, with_argmax=(fused_conv != "norm"))
+        and _fused_fits(params, x, pool, with_argmax=(fused_conv != "norm"))
     )
     if use_fused and fused_conv == "norm":
         # inference-only fully-fused path: conv+bias+maxout+InstanceNorm in
@@ -262,7 +263,7 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
     if (fused_conv == "norm" and dropout_rng is None and dilation == 1
             and params["maxout"]["w"].shape[0] == KSIZE_FUSED
             and compute_dtype == jnp.bfloat16 and _sharding_inactive()
-            and _fused_fits(params["maxout"], x)):
+            and _fused_fits(params["maxout"], x, pool=4)):
         return _resnet_block_fused_norm(params, x, mask)
     if fused_conv == "norm":
         # the fully-fused path didn't qualify (e.g. training dropout): fall

@@ -42,7 +42,25 @@ def train(data_dir: str = ".", clusters: str = "train_clust.lst",
           seed: int = 0, model_kwargs: dict | None = None,
           mesh=None, precision: str = "fp32", cfg: TrainConfig | None = None):
     """Explicit keyword arguments override ``cfg``; None falls back to it
-    (so a programmatic TrainConfig actually takes effect)."""
+    (so a programmatic TrainConfig actually takes effect).
+
+    A ``mesh`` with a non-trivial ``seq`` axis also activates the
+    within-sample pair-tensor sharding constraints: the whole run executes
+    under ``jax.set_mesh`` so parallel/sharding derives the constraint from
+    the ambient mesh (a 4x2 mesh without the context would silently leave
+    the seq devices holding idle replicas)."""
+    import contextlib
+
+    ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        return _train_impl(data_dir, clusters, workdir, num_epochs,
+                           micro_batch, accum_steps, restart, refine_steps,
+                           seed, model_kwargs, mesh, precision, cfg)
+
+
+def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
+                accum_steps, restart, refine_steps, seed, model_kwargs,
+                mesh, precision, cfg):
     cfg = cfg or TrainConfig()
     micro_batch = cfg.micro_batch if micro_batch is None else micro_batch
     accum_steps = cfg.batch_size if accum_steps is None else accum_steps
@@ -250,21 +268,33 @@ def main(argv=None):
     ap.add_argument("--num-blocks", type=int, default=16)
     ap.add_argument("--mesh", default=None, metavar="DATA[xSEQ]",
                     help="train over a device mesh, e.g. '8' or '4x2'; "
-                         "'auto' = all devices data-parallel")
+                         "'auto' = all devices data-parallel; SEQ>1 also "
+                         "shards the O(L²) pair tensors within each sample")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-process training on a TPU pod: initialize "
+                         "jax.distributed from the auto-detected cluster env "
+                         "(every host runs the same command)")
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
-                    help="multi-process training: jax.distributed coordinator "
-                         "(every host runs the same command with its own "
-                         "--process-id; on TPU pods the cluster env is "
-                         "auto-detected and only --mesh is needed)")
+                    help="multi-process training off-pod (manual launch): "
+                         "jax.distributed coordinator; requires "
+                         "--num-processes and --process-id on every host")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
+    if args.coordinator is not None and (args.num_processes is None
+                                         or args.process_id is None):
+        ap.error("--coordinator requires --num-processes and --process-id")
+    if args.coordinator is None and (args.num_processes is not None
+                                     or args.process_id is not None):
+        ap.error("--num-processes/--process-id only apply with --coordinator "
+                 "(use --distributed for TPU-pod env auto-detection)")
+
     mesh = None
-    if args.coordinator is not None or args.mesh is not None:
+    if args.distributed or args.coordinator is not None or args.mesh is not None:
         from ..parallel.mesh import initialize_distributed, make_mesh
 
-        if args.coordinator is not None:
+        if args.distributed or args.coordinator is not None:
             initialize_distributed(args.coordinator, args.num_processes,
                                    args.process_id)
             if args.mesh is None:

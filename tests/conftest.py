@@ -48,6 +48,7 @@ def pytest_sessionfinish(session, exitstatus):
     _exitstatus[0] = int(exitstatus)
 
 
+@pytest.hookimpl(trylast=True)  # let other plugins (e.g. pytest-cov) finalize
 def pytest_unconfigure(config):
     """Skip the fragile native teardown after the full suite.
 
@@ -57,9 +58,14 @@ def pytest_unconfigure(config):
     (individual files exit cleanly). unconfigure runs after the terminal
     summary, so hard-exit here with pytest's own status so a teardown
     crash can't masquerade as a test failure.
+
+    Set DMPFOLD2_TPU_NO_HARD_EXIT=1 to disable (e.g. when embedding
+    pytest.main() in a longer-lived process that must survive the run).
     """
     import sys
 
+    if os.environ.get("DMPFOLD2_TPU_NO_HARD_EXIT") == "1":
+        return
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(_exitstatus[0])

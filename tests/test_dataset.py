@@ -242,3 +242,33 @@ def test_train_cli_mesh_flag(data_dir, tmp_path):
         "--mesh", "2x1",
     ])
     assert (tmp_path / ckpt.CHECKPOINT).exists()
+
+
+def test_train_loop_mesh_with_seq_axis(data_dir, tmp_path):
+    """A DATAxSEQ mesh must activate the pair-tensor seq sharding: train()
+    enters jax.set_mesh, so parallel/sharding derives the constraint from
+    the ambient mesh (review finding: a 4x2 mesh without the context left
+    the seq devices holding idle replicas)."""
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+    from dmpfold2_tpu.train.loop import train
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    train(
+        data_dir=data_dir, clusters="clusters.lst", workdir=str(tmp_path),
+        num_epochs=1, micro_batch=2, accum_steps=1, restart=False,
+        refine_steps=2, model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+        mesh=mesh,
+    )
+    assert (tmp_path / ckpt.CHECKPOINT).exists()
+
+
+def test_train_cli_distributed_flag_validation():
+    """Manual multi-host flags must be validated at the CLI layer."""
+    import pytest
+
+    from dmpfold2_tpu.train.loop import main
+
+    with pytest.raises(SystemExit):
+        main(["--coordinator", "h:1"])  # missing --num-processes/--process-id
+    with pytest.raises(SystemExit):
+        main(["--process-id", "0"])     # missing --coordinator

@@ -374,7 +374,10 @@ def test_fused_conv_vmem_fit_gate():
     # evaluated with the real 128->512 geometry above)
     from dmpfold2_tpu.models.trunk import _fused_fits
 
-    p = {"w": jnp.zeros((5, 5, 128, 512)), "b": jnp.zeros((512,))}
-    x = jnp.zeros((1, 1536, 1536, 128), jnp.bfloat16)
+    # ShapeDtypeStructs: the gate only reads static shapes — no need to
+    # allocate a 576 MB zeros array to test it
+    p = {"w": jax.ShapeDtypeStruct((5, 5, 128, 512), jnp.float32),
+         "b": jax.ShapeDtypeStruct((512,), jnp.float32)}
+    x = jax.ShapeDtypeStruct((1, 1536, 1536, 128), jnp.bfloat16)
     assert not _fused_fits(p, x)
-    assert _fused_fits(p, jnp.zeros((1, 96, 96, 128), jnp.bfloat16))
+    assert _fused_fits(p, jax.ShapeDtypeStruct((1, 96, 96, 128), jnp.bfloat16))
