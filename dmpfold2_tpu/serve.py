@@ -306,7 +306,14 @@ def main(argv=None):
     ap.add_argument("--batch-window-ms", type=float, default=50.0,
                     help="request-coalescing window for batched dispatch")
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--warmup", default="256x96,256x128", metavar="NxL,...",
+                    help="comma-separated (nseqs x nres) shapes to precompile "
+                         "before accepting traffic — set to the deployment's "
+                         "expected bucket mix")
     args = ap.parse_args(argv)
+    warmup_shapes = tuple(
+        tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",") if s
+    )
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -314,13 +321,30 @@ def main(argv=None):
     server = serve(params, args.host, args.port, args.precision,
                    batch_window_s=args.batch_window_ms / 1000.0,
                    max_batch=args.max_batch)
+    # graceful drain on SIGTERM/SIGINT (load balancers send SIGTERM on
+    # rollouts): stop accepting work, fail queued requests fast, let the
+    # in-flight device batch finish, then return from serve_forever
+    import signal
+    import sys
+
+    def _graceful(signum, frame):
+        print("shutting down (draining in-flight folds)...", file=sys.stderr)
+        server.fold_service.close()
+        # shutdown() blocks until serve_forever exits — must not run on the
+        # signal-handler frame
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     # precompile common shape buckets (and the healthz shape) before
     # accepting traffic so the first real requests don't block on minutes of
     # XLA compilation
     print("warming up (precompiling common shape buckets)...")
-    server.fold_service.warmup()
+    server.fold_service.warmup(shapes=warmup_shapes)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
+    server.server_close()
 
 
 if __name__ == "__main__":

@@ -116,3 +116,43 @@ def test_concurrent_requests_are_batched():
     assert service.batch_stats["requests"] == 4
     assert service.batch_stats["max_coalesced"] >= 2
     assert service.batch_stats["dispatches"] < 4
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """`python -m dmpfold2_tpu.serve` must drain and exit 0 on SIGTERM
+    (load balancers send SIGTERM on rollouts), not die mid-request."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from dmpfold2_tpu.weights import save_params
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=16, cwidth=8,
+                                   num_blocks=2)
+    wpath = str(tmp_path / "tiny.npz")
+    save_params(wpath, params)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DMPFOLD2_TPU_NO_CACHE="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dmpfold2_tpu.serve", "--host", "127.0.0.1",
+         "--port", "0", "--weights", wpath, "--precision", "fp32",
+         "--warmup", "8x16"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    try:
+        # wait for warmup + listening (port 0: we never need the real port —
+        # SIGTERM during/after warmup must both drain cleanly)
+        deadline = time.time() + 300
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+        assert "serving on" in line, f"server never came up: {line!r}"
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
