@@ -54,6 +54,15 @@ def resolve_dca_method(setting: str, precision: str) -> str:
     return "cholesky"
 
 
+def resolve_dca_precision(precision: str) -> str:
+    # f32 matmul passes inside fast_dca (covariance + (21L)² inverse). The
+    # fidelity engines keep true-f32-class "highest" (6 bf16 passes on TPU);
+    # the bf16 throughput engine runs "high" (3 passes): measured 4e-5 max
+    # relative feature error — negligible next to the bf16 trunk — for
+    # 1.6-2x the DCA matmul rate (290 -> 182 ms at the L=736 stress bucket).
+    return "high" if precision == "bf16" else "highest"
+
+
 def resolve_fused_conv(precision: str):
     # Pallas fused conv+maxout+InstanceNorm ("norm"): bf16 on TPU only
     if precision == "bf16" and jax.default_backend() == "tpu":
@@ -94,7 +103,8 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
         w = reweight(oh, nres)
-        dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method)
+        dca = dca_or_zero(oh, w, nseqs, nres, method=dca_method,
+                          matmul_precision=resolve_dca_precision(precision))
         x2 = jnp.concatenate([dca, dmap_channel[:, :, None]], axis=2)
         compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         # fp32_strict is the like-for-like fidelity mode vs a reference run:

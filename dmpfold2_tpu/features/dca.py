@@ -63,8 +63,9 @@ def _blocked_threshold():
     return BLOCKED_THRESHOLD
 
 
-@partial(jax.jit, static_argnames=("method",))
-def fast_dca(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky"):
+@partial(jax.jit, static_argnames=("method", "matmul_precision"))
+def fast_dca(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky",
+             matmul_precision: str = "highest"):
     """DCA couplings + contacts -> (L, L, 442) float32.
 
     Args:
@@ -72,12 +73,18 @@ def fast_dca(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = 
       weights: (N,) reweighting from :func:`features.msa.reweight` (padding zero).
       nseqs:   true sequence count (scalar, may be traced).
       nres:    true residue count (scalar, may be traced).
+      matmul_precision: TPU f32 matmul passes for the covariance + inverse.
+        The inverse amplifies matmul error, and the TPU default single
+        bf16-pass f32 leaves ~2.5e-3 relative error in the couplings, so the
+        fp32/fp32_strict engines pin "highest" (6-pass, true-f32 class).
+        The bf16 throughput engine passes "high" (3-pass): measured 4e-5
+        max relative feature error vs "highest" on the bundled example — far
+        below the bf16 trunk's own rounding — for 1.6-2x the DCA matmul rate
+        (measured 290 -> 182 ms at the L=736 stress bucket).
     """
     n_pad, l_pad, ns = msa1hot.shape
     x = msa1hot.reshape(n_pad, l_pad * ns)
-    # The (21L)^2 inverse amplifies matmul error; on TPU the default f32
-    # matmul precision is bf16-pass based, so pin full fp32 here.
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(matmul_precision):
         return _fast_dca_body(x, weights, nseqs, nres, l_pad, ns, penalty, method)
 
 
@@ -115,7 +122,8 @@ def _fast_dca_body(x, weights, nseqs, nres, l_pad, ns, penalty, method):
     return out * (col_mask[:, None, None] & col_mask[None, :, None])
 
 
-def dca_or_zero(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky"):
+def dca_or_zero(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str = "cholesky",
+                matmul_precision: str = "highest"):
     """Reference behavior for single-sequence inputs: zero features.
 
     (reference: dmpfold/predict.py:139 — ``if nseqs > 1 else zeros``)
@@ -123,7 +131,8 @@ def dca_or_zero(msa1hot, weights, nseqs, nres, penalty: float = 4.5, method: str
     l_pad = msa1hot.shape[1]
 
     def compute(_):
-        return fast_dca(msa1hot, weights, nseqs, nres, penalty=penalty, method=method)
+        return fast_dca(msa1hot, weights, nseqs, nres, penalty=penalty, method=method,
+                        matmul_precision=matmul_precision)
 
     def zeros(_):
         return jnp.zeros((l_pad, l_pad, NUM_DCA_CHANNELS), jnp.float32)

@@ -67,9 +67,12 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
     canonical_signs = precision != "fp32_strict"
 
     def features(aln, ns, nr, dmap):
+        from ..engine.fold import resolve_dca_precision
+
         oh = msa_one_hot(aln, ns, nr)
         w = reweight(oh, nr)
-        dca = dca_or_zero(oh, w, ns, nr, method=dca_method)
+        dca = dca_or_zero(oh, w, ns, nr, method=dca_method,
+                          matmul_precision=resolve_dca_precision(precision))
         return jnp.concatenate([dca, dmap[:, :, None]], axis=2)
 
     def body():

@@ -77,6 +77,15 @@ def test_policy_resolution_fidelity():
     assert resolve_fused_conv("fp32_strict") is False
     assert resolve_dca_method("lu", "bf16") == "lu"  # explicit wins
 
+    # DCA matmul precision: fidelity modes pin true-f32-class passes; only
+    # the bf16 throughput engine trades down to 3-pass "high" (measured 4e-5
+    # max relative feature error on the bundled example)
+    from dmpfold2_tpu.engine.fold import resolve_dca_precision
+
+    assert resolve_dca_precision("fp32") == "highest"
+    assert resolve_dca_precision("fp32_strict") == "highest"
+    assert resolve_dca_precision("bf16") == "high"
+
 
 def test_pdb_writer_format():
     coords = np.zeros((2, 5, 3), dtype=np.float32)
