@@ -170,3 +170,55 @@ def test_fp32_strict_mode(params):
     alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:20]
     c, f = Folder(params, precision="fp32_strict").fold(alnmat, iterations=0, minsteps=0)
     assert np.isfinite(c).all()
+
+
+def test_cli_batch_mode(tmp_path):
+    """`dmpfold -i a.aln b.aln -o outdir` streams through BatchFolder and
+    writes one PDB per input (net-new batch CLI surface)."""
+    from dmpfold2_tpu.cli import run_dmpfold
+    from dmpfold2_tpu.models.gruresnet import init_params
+
+    toy = init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+    wpath = str(tmp_path / "toy.npz")
+    save_params(wpath, toy)
+
+    lines = [l for l in open(EXAMPLE_ALN).read().splitlines() if l]
+    a = tmp_path / "tgt_a.aln"
+    b = tmp_path / "tgt_b.aln"
+    a.write_text("\n".join(lines[:12]) + "\n")
+    b.write_text("\n".join(lines[:7]) + "\n")
+    outdir = tmp_path / "out"
+
+    run_dmpfold(["-i", str(a), str(b), "-o", str(outdir),
+                 "-n", "0", "-m", "0", "-w", wpath, "--batch-size", "2"])
+
+    for stem, nrows in (("tgt_a", 12), ("tgt_b", 7)):
+        text = (outdir / f"{stem}.pdb").read_text()
+        assert text.startswith("REMARK  CONF:")
+        assert text.rstrip().endswith("END")
+        assert text.count("ATOM") == 406  # 82 residues x 5 atoms - 4 Gly CBs
+
+    # single input + -o also writes a file (no stdout PDB)
+    run_dmpfold(["-i", str(a), "-o", str(outdir), "-n", "0", "-m", "0",
+                 "-w", wpath])
+    assert (outdir / "tgt_a.pdb").exists()
+
+
+def test_cli_batch_mode_errors(tmp_path):
+    from dmpfold2_tpu.cli import run_dmpfold
+
+    a = tmp_path / "x.aln"
+    a.write_text("GWC\n")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    dup = sub / "x.aln"
+    dup.write_text("GWC\n")
+
+    with pytest.raises(SystemExit):  # multiple inputs need -o
+        run_dmpfold(["-i", str(a), str(dup), "-n", "0", "-m", "0"])
+    with pytest.raises(SystemExit):  # duplicate stems would collide
+        run_dmpfold(["-i", str(a), str(dup), "-o", str(tmp_path / "o"),
+                     "-n", "0", "-m", "0"])
+    with pytest.raises(SystemExit):  # template is single-target only
+        run_dmpfold(["-i", str(a), str(tmp_path / "y.aln"), "-t", "tpl.pdb",
+                     "-o", str(tmp_path / "o"), "-n", "0", "-m", "0"])
