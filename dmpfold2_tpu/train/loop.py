@@ -35,6 +35,42 @@ def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
         yield TrainBatch(*pad_to_bucket(samples))
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Host-side input pipeline: build upcoming micro-batches (file IO, aln
+    parsing, augmentation, bucket padding) on a background thread while the
+    device runs the current step. The reference gets this overlap from a
+    spawned DataLoader worker (train.py:290,421 — a process boundary crossed
+    per sample); a thread suffices here because batch assembly is
+    numpy/file-IO work that releases the GIL, and it preserves the exact
+    sequential dataset access order the seed-derived augmentation RNG (and
+    multi-process host synchronization) depend on.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    end = object()
+    failure: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # re-raised on the consumer thread
+            failure.append(exc)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            if failure:
+                raise failure[0]
+            return
+        yield item
+
+
 def train(data_dir: str = ".", clusters: str = "train_clust.lst",
           workdir: str = ".", num_epochs: int = 1000,
           micro_batch: int | None = None, accum_steps: int | None = None,
@@ -169,7 +205,7 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
         py_rng.shuffle(indices)
 
         train_err, train_samples, train_bad = 0.0, 0, 0
-        for batch in _make_batches(train_data, indices, micro_batch):
+        for batch in _prefetch(_make_batches(train_data, indices, micro_batch)):
             true_size = batch.alnmat.shape[0]
             batch = shard_batch(batch)
             rng, sub = jax.random.split(rng)
@@ -190,8 +226,8 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
         # PRNGKey makes teacher-forcing draws repeat across epochs
         val_rng = jax.random.PRNGKey(1)
         val_err, val_samples, val_bad = 0.0, 0, 0
-        for batch in _make_batches(val_data, list(range(len(val_data))), micro_batch,
-                                   drop_last=False):
+        for batch in _prefetch(_make_batches(val_data, list(range(len(val_data))),
+                                             micro_batch, drop_last=False)):
             # shard_batch may pad a partial batch by repeating the tail
             # sample; sum only the TRUE samples' losses (eval returns the
             # per-sample vector) so duplicated padding samples don't skew

@@ -272,3 +272,24 @@ def test_train_cli_distributed_flag_validation():
         main(["--coordinator", "h:1"])  # missing --num-processes/--process-id
     with pytest.raises(SystemExit):
         main(["--process-id", "0"])     # missing --coordinator
+
+
+def test_prefetch_order_and_errors():
+    """The background-thread input pipeline must preserve the iterator's
+    exact order (the augmentation RNG and multi-process host sync depend on
+    sequential dataset access) and re-raise producer exceptions."""
+    from dmpfold2_tpu.train.loop import _prefetch
+
+    assert list(_prefetch(iter(range(100)), depth=3)) == list(range(100))
+    assert list(_prefetch(iter([]))) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    got = []
+    with pytest.raises(RuntimeError, match="producer died"):
+        for x in _prefetch(boom()):
+            got.append(x)
+    assert got == [1, 2]
