@@ -22,10 +22,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(label, fn, *args):
+def timed(label, fn, *args, static=()):
+    """jit(fn) with every arg a real argument (params as closure constants
+    would bake 35M weights into the program and stall the compile)."""
     import jax
 
-    f = jax.jit(fn)
+    f = jax.jit(fn, static_argnums=static)
     out = f(*args)
     jax.block_until_ready(out)
     times = []
@@ -71,13 +73,16 @@ def main():
                           remat=True)
         return jnp.sum(out.astype(jnp.float32))
 
+    trunk_grad = jax.grad(trunk_loss, argnums=(0, 1))
+
     log("=== trunk (B=1, remat) ===")
-    for fused, tag in (("norm", "fused"), (False, "xla")):
-        t_f = timed(f"fwd {tag}", lambda v, fu=fused: trunk_loss(params["trunk"], v, fu), x)
-        t_g = timed(f"grad {tag} (input+params)",
-                    jax.grad(lambda p, v, fu=fused: trunk_loss(p, v, fu),
-                             argnums=(0, 1)),
-                    params["trunk"], x)
+    # fused_conv=True is the training variant (conv5x5_maxout_diff custom
+    # VJP); the fully-fused "norm" epilogue is inference-only
+    for fused, tag in ((True, "fused"), (False, "xla")):
+        t_f = timed(f"fwd {tag}", trunk_loss, params["trunk"], x, fused,
+                    static=(2,))
+        t_g = timed(f"grad {tag} (input+params)", trunk_grad,
+                    params["trunk"], x, fused, static=(2,))
         log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
     # --- MDS (eigh) fwd vs grad
@@ -85,32 +90,29 @@ def main():
     gram = jnp.asarray(g + g.T)
 
     log("=== MDS eigh (B=1) ===")
-    mds = lambda d: jnp.sum(geometry.mds_coords(d, nres))
-    timed("fwd", mds, gram)
-    timed("grad", jax.grad(mds), gram)
+    mds = lambda d, nr: jnp.sum(geometry.mds_coords(d, nr))
+    timed("fwd", mds, gram, nres)
+    timed("grad", jax.grad(mds), gram, nres)
 
     # --- coord-head biGRU (3 layers, input 520) fwd vs grad
     emb = jnp.asarray(rng.normal(size=(l_pad, 1, 520)), jnp.float32)
 
-    def coord_head(p, v):
-        return jnp.sum(gru_mod.bigru_stack(p, v, nres))
+    def bigru_loss(p, v, nr):
+        return jnp.sum(gru_mod.bigru_stack(p, v, nr))
+
+    bigru_grad = jax.grad(bigru_loss, argnums=(0, 1))
 
     log("=== coord biGRU (3-layer, L scan) ===")
-    t_f = timed("fwd", lambda v: coord_head(params["coord_gru"], v), emb)
-    t_g = timed("grad (input+params)",
-                jax.grad(coord_head, argnums=(0, 1)), params["coord_gru"], emb)
+    t_f = timed("fwd", bigru_loss, params["coord_gru"], emb, nres)
+    t_g = timed("grad (input+params)", bigru_grad, params["coord_gru"], emb, nres)
     log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
-    # --- residue biGRU (hgru, 2-layer, input 22->512)
+    # --- residue biGRU (hgru, 2-layer, input 512)
     hin = jnp.asarray(rng.normal(size=(l_pad, 1, 512)), jnp.float32)
 
-    def hgru_loss(p, v):
-        return jnp.sum(gru_mod.bigru_stack(p, v, nres))
-
     log("=== hgru (2-layer biGRU) ===")
-    t_f = timed("fwd", lambda v: hgru_loss(params["hgru"], v), hin)
-    t_g = timed("grad (input+params)",
-                jax.grad(hgru_loss, argnums=(0, 1)), params["hgru"], hin)
+    t_f = timed("fwd", bigru_loss, params["hgru"], hin, nres)
+    t_g = timed("grad (input+params)", bigru_grad, params["hgru"], hin, nres)
     log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
     # --- vertical GRU (remat-chunked) fwd vs grad
@@ -118,15 +120,15 @@ def main():
     oh = jnp.asarray(aln[..., None] == jnp.arange(22), jnp.float32)
     nseqs_s = jnp.asarray(nseqs, jnp.int32)
 
-    def vgru_loss(p, v):
-        out = gru_mod.unigru_stack_final(p, v, valid_len=nseqs_s,
-                                         remat_chunk=128)
+    def vgru_loss(p, v, ns):
+        out = gru_mod.unigru_stack_final(p, v, valid_len=ns, remat_chunk=128)
         return jnp.sum(out)
 
+    vgru_grad = jax.grad(vgru_loss, argnums=(0, 1))
+
     log(f"=== vertical GRU ({n_pad} rows, remat_chunk=128) ===")
-    t_f = timed("fwd", lambda v: vgru_loss(params["vgru"], v), oh)
-    t_g = timed("grad (input+params)",
-                jax.grad(vgru_loss, argnums=(0, 1)), params["vgru"], oh)
+    t_f = timed("fwd", vgru_loss, params["vgru"], oh, nseqs_s)
+    t_g = timed("grad (input+params)", vgru_grad, params["vgru"], oh, nseqs_s)
     log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
 
