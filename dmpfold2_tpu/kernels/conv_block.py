@@ -375,7 +375,10 @@ def conv5x5_maxout_diff(x, w, b, pool: int = 4, interpret: bool = False):
 def _diff_fwd(x, w, b, pool, interpret):
     out, idx = conv5x5_maxout(x, w, b, pool, interpret=interpret,
                               with_argmax=True)
-    return out, (x, w, b, idx)
+    # bank the pool index (0..pool-1) as int8: the residual lives across the
+    # whole backward (x4 per recycle under training), and int32 would make
+    # it the block's single largest saved tensor
+    return out, (x, w, b, idx.astype(jnp.int8))
 
 
 def _diff_bwd(pool, interpret, res, g):
