@@ -135,14 +135,9 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
     ``fused_conv`` routes the 5x5 conv+bias+maxout through the Pallas kernel
     (kernels/conv_block.py, ~25% faster on TPU; bf16 + unsharded only).
     """
-    ksize = params["w"].shape[0]
-    use_fused = (
-        fused_conv and ksize == KSIZE_FUSED and dilation == 1
-        and compute_dtype == jnp.bfloat16 and _sharding_inactive()
-        # the non-"norm" path runs the differentiable kernel, whose VJP
-        # additionally banks the int32 argmax residual in the band
-        and _fused_fits(params, x, pool, with_argmax=(fused_conv != "norm"))
-    )
+    # the non-"norm" path runs the differentiable kernel, whose VJP
+    # additionally banks the argmax residual in the band (_fused_fits)
+    use_fused = _use_fused(params, x, pool, dilation, compute_dtype, fused_conv)
     if use_fused and fused_conv == "norm":
         # inference-only fully-fused path: conv+bias+maxout+InstanceNorm in
         # one kernel (stats computed in the epilogue, one HBM round-trip
@@ -152,22 +147,36 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
         return conv5x5_maxout_norm(x.astype(jnp.bfloat16), params["w"],
                                    params["b"], params["gamma"],
                                    params["beta"], pool, _mask_nres(mask), mask)
+    out = _conv_max(params, x, pool, dilation, compute_dtype,
+                    use_fused=use_fused)
+    out = masked_instance_norm(out, params["gamma"], params["beta"], mask)
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+    return out
+
+
+def _conv_max(params, x, pool: int, dilation: int, compute_dtype, use_fused):
+    """The conv+bias+maxout half of :func:`maxout2d` (norm excluded)."""
     if use_fused:
         from ..kernels.conv_block import conv5x5_maxout_diff
 
         # custom-VJP wrapper: identical kernel when no gradients are
         # requested; differentiable (argmax-routed hand-written backward)
         # so the bf16 training path can take the fused kernel too
-        out = conv5x5_maxout_diff(x.astype(jnp.bfloat16), params["w"],
-                                  params["b"], pool)
-    else:
-        out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
-        b, h, w, c = out.shape
-        out = out.reshape(b, h, w, c // pool, pool).max(axis=-1)
-    out = masked_instance_norm(out, params["gamma"], params["beta"], mask)
-    if compute_dtype is not None:
-        out = out.astype(compute_dtype)
-    return out
+        return conv5x5_maxout_diff(x.astype(jnp.bfloat16), params["w"],
+                                   params["b"], pool)
+    out = conv2d(x, params["w"], params["b"], dilation, compute_dtype)
+    b, h, w, c = out.shape
+    return out.reshape(b, h, w, c // pool, pool).max(axis=-1)
+
+
+def _use_fused(params, x, pool: int, dilation: int, compute_dtype, fused_conv):
+    ksize = params["w"].shape[0]
+    return (
+        fused_conv and ksize == KSIZE_FUSED and dilation == 1
+        and compute_dtype == jnp.bfloat16 and _sharding_inactive()
+        and _fused_fits(params, x, pool, with_argmax=(fused_conv != "norm"))
+    )
 
 
 def scse_params(key, width: int, reduction: int = 16):
@@ -258,8 +267,16 @@ def _resnet_block_fused_norm(params, x, mask):
 
 def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
                  dropout_rate: float = 0.2, compute_dtype=None,
-                 fused_conv: bool = False):
-    """Residual block (reference: dmpfold/network.py:85-103)."""
+                 fused_conv: bool = False, remat_tail: bool = False):
+    """Residual block (reference: dmpfold/network.py:85-103).
+
+    ``remat_tail``: checkpoint only the norm+SE tail instead of the caller
+    checkpointing the whole block — the conv+maxout output (and the fused
+    kernel's int8 argmax) are then *saved* for the backward, which skips the
+    expensive conv recompute and replays only the cheap elementwise tail.
+    Trades ~3x the per-block residual memory for backward time; the train
+    step picks per-shape (train/step.py:_resolve_remat).
+    """
     if (fused_conv == "norm" and dropout_rng is None and dilation == 1
             and params["maxout"]["w"].shape[0] == KSIZE_FUSED
             and compute_dtype == jnp.bfloat16 and _sharding_inactive()
@@ -279,15 +296,25 @@ def resnet_block(params, x, mask=None, dilation: int = 1, *, dropout_rng=None,
         out = jnp.where(m1, out / keep, 0.0)
         m2 = jax.random.bernoulli(r2, keep, (out.shape[0], 1, 1, out.shape[3]))
         out = jnp.where(m2, out / keep, 0.0)
-    out = maxout2d(params["maxout"], out, pool=4, dilation=dilation, mask=mask,
-                   compute_dtype=compute_dtype, fused_conv=fused_conv)
-    # cSE pools the InstanceNorm output -> its spatial mean is exactly the
-    # norm's beta; see scse() docstring
-    out = scse(params["scse"], out, mask, pooled_const=params["maxout"]["beta"])
-    out = (out + x).astype(x.dtype)
-    if mask is not None:
-        out = out * mask
-    return out
+    mx = params["maxout"]
+    use_fused = _use_fused(mx, out, 4, dilation, compute_dtype, fused_conv)
+    y = _conv_max(mx, out, 4, dilation, compute_dtype, use_fused)
+
+    def tail(y_, x_):
+        t = masked_instance_norm(y_, mx["gamma"], mx["beta"], mask)
+        if compute_dtype is not None:
+            t = t.astype(compute_dtype)
+        # cSE pools the InstanceNorm output -> its spatial mean is exactly
+        # the norm's beta; see scse() docstring
+        t = scse(params["scse"], t, mask, pooled_const=mx["beta"])
+        t = (t + x_).astype(x_.dtype)
+        if mask is not None:
+            t = t * mask
+        return t
+
+    if remat_tail:
+        tail = jax.checkpoint(tail)
+    return tail(y, x)
 
 
 def trunk_params(key, in_channels: int = TRUNK_IN_CHANNELS, width: int = DEFAULT_WIDTH,
@@ -328,19 +355,25 @@ def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False,
     else:
         rngs = None
 
+    # remat: True checkpoints the whole block body (minimum memory: one
+    # carry per block); "save_conv" banks the conv+maxout output and argmax
+    # instead and replays only the norm+SE tail in the backward (~25%
+    # faster trunk grad for ~3x the residual bytes, train/step.py picks)
+    remat_tail = remat == "save_conv"
+
     def body(carry, block):
         if rngs is None:
             p = block
             new = resnet_block(p, carry, mask, compute_dtype=compute_dtype,
-                               fused_conv=fused_conv)
+                               fused_conv=fused_conv, remat_tail=remat_tail)
         else:
             p, rng = block
             new = resnet_block(p, carry, mask, dropout_rng=rng,
                                compute_dtype=compute_dtype,
-                               fused_conv=fused_conv)
+                               fused_conv=fused_conv, remat_tail=remat_tail)
         return shard_pair(new), None
 
-    if remat:
+    if remat is True:
         body = jax.checkpoint(body)
 
     xs = params["blocks"] if rngs is None else (params["blocks"], rngs)

@@ -88,10 +88,27 @@ def _prep_sample(alnmat, targets, nseqs, nres, rng, *,
     return x2, targets, rng_drop
 
 
+def _resolve_remat(batch_size: int, l_pad: int, nloops: int, fused: bool):
+    """Pick the trunk rematerialization mode for this (static) step shape.
+
+    ``"save_conv"`` banks each block's conv+maxout output (+ the fused
+    kernel's int8 argmax) so the backward replays only the cheap norm+SE
+    tail — measured ~25% off the trunk grad — at ~3x the residual bytes
+    of full-body checkpointing (models/trunk.py:resnet_block). Estimate
+    the residual footprint across all (nloops+1) unrolled trunk passes and
+    fall back to full remat (True) when it would crowd the 16 GB HBM.
+    """
+    per_elem = 6 if fused else 12  # bytes per (L², cwidth) element saved
+    instances = (nloops + 1) * 16
+    est = instances * batch_size * l_pad * l_pad * 128 * per_elem
+    return "save_conv" if est <= 8e9 else True
+
+
 def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
                 nloops: int, refine_steps: int = REFINE_STEPS,
                 teacher_prob: float = 0.5, noise_targets: bool = True,
-                dropout: bool = True, precision: str = "fp32"):
+                dropout: bool = True, precision: str = "fp32",
+                remat=True):
     """Loss for one (padded) sample, differentiable through recycling+refinement."""
     x2, targets, rng_drop = _prep_sample(
         alnmat, targets, nseqs, nres, rng,
@@ -106,7 +123,7 @@ def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     coords, confs = gruresnet.forward(
         params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-        rngs=rngs, remat=True, compute_dtype=compute_dtype,
+        rngs=rngs, remat=remat, compute_dtype=compute_dtype,
     )
     return fold_loss(coords, confs, targets, nres)
 
@@ -115,7 +132,7 @@ def batch_loss_native(params, batch: "TrainBatch", rngs, *,
                       nloops: int, refine_steps: int = REFINE_STEPS,
                       teacher_prob: float = 0.5, noise_targets: bool = True,
                       dropout: bool = True, precision: str = "fp32",
-                      fused_conv: bool = False):
+                      fused_conv: bool = False, remat=True):
     """Natively-batched micro-batch loss: one trunk conv per block for the
     whole batch via :func:`gruresnet.forward_batched` — required to run the
     fused Pallas conv (custom VJP, no vmap rule) in training. Per-sample
@@ -142,7 +159,7 @@ def batch_loss_native(params, batch: "TrainBatch", rngs, *,
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     coords, confs = gruresnet.forward_batched(
         params, batch.alnmat, x2, batch.nseqs, batch.nres, nloops,
-        refine_steps, rngs=drngs, remat=True, compute_dtype=compute_dtype,
+        refine_steps, rngs=drngs, remat=remat, compute_dtype=compute_dtype,
         fused_conv=fused_conv,
     )
     losses, metrics = jax.vmap(fold_loss)(coords, confs, targets, batch.nres)
@@ -176,16 +193,19 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
     """
     batch_size = batch.alnmat.shape[0]
     rngs = jax.random.split(rng, batch_size)
+    remat = _resolve_remat(batch_size, batch.alnmat.shape[2], nloops,
+                           bool(fused_conv))
 
     def batched_loss(p):
         if native_batch:
             return batch_loss_native(
                 p, batch, rngs, nloops=nloops, refine_steps=refine_steps,
-                dropout=train, precision=precision, fused_conv=fused_conv)
+                dropout=train, precision=precision, fused_conv=fused_conv,
+                remat=remat)
         losses, metrics = jax.vmap(
             lambda a, t, ns, nr, r: sample_loss(
                 p, a, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
-                dropout=train, precision=precision,
+                dropout=train, precision=precision, remat=remat,
             ),
             spmd_axis_name="data",
         )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)

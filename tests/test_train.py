@@ -235,3 +235,43 @@ def test_train_step_native_batch(tiny_setup):
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
     )
     assert changed
+
+
+def test_remat_save_conv_grad_parity():
+    """remat="save_conv" (bank conv+maxout outputs, replay only the norm+SE
+    tail) must produce the same trunk gradients as full-body checkpointing
+    -- it changes what is saved, never the math."""
+    from dmpfold2_tpu.models.trunk import trunk_apply, trunk_params
+
+    key = jax.random.PRNGKey(0)
+    params = trunk_params(key, in_channels=19, width=16, num_blocks=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 12, 19))
+    mask = (jnp.arange(12) < 10)
+    mask = (mask[:, None] & mask[None, :])[None, :, :, None]
+    drop = jax.random.PRNGKey(2)
+
+    def loss(p, v, remat):
+        out = trunk_apply(p, v, mask, dropout_rng=drop, remat=remat)
+        return jnp.sum(out)
+
+    for dropout_rng in (drop, None):
+        def loss(p, v, remat, d=dropout_rng):
+            out = trunk_apply(p, v, mask, dropout_rng=d, remat=remat)
+            return jnp.sum(out)
+
+        g_full = jax.grad(loss)(params, x, True)
+        g_save = jax.grad(loss)(params, x, "save_conv")
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_save)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_remat_policy():
+    from dmpfold2_tpu.train.step import _resolve_remat
+
+    # B=1 crop-350 fused qualifies; bigger batches fall back to full remat
+    assert _resolve_remat(1, 352, 3, fused=True) == "save_conv"
+    assert _resolve_remat(2, 352, 3, fused=True) is True
+    # the unfused residuals are ~2x, so the same shape can fall back
+    assert _resolve_remat(1, 352, 3, fused=False) is True
+    assert _resolve_remat(1, 128, 3, fused=False) == "save_conv"
