@@ -24,6 +24,13 @@ from .engine.fold import DEFAULT_ITERATIONS, DEFAULT_MINSTEPS, aln_to_coords
 from .utils.pdb import format_pdb
 
 
+def _iterations_arg(value: str):
+    """-n accepts an int or 'auto' (plateau-stopped recycling, net-new)."""
+    if value == "auto":
+        return "auto"
+    return int(value)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description=(
@@ -40,8 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="device to run on (ignored; JAX auto-selects)")
     parser.add_argument("-t", "--template", type=str, required=False,
                         help="use a PDB file as a template")
-    parser.add_argument("-n", "--iterations", type=int, default=DEFAULT_ITERATIONS,
-                        required=False, help="number of iteration cycles")
+    parser.add_argument("-n", "--iterations", type=_iterations_arg,
+                        default=DEFAULT_ITERATIONS, required=False,
+                        help="number of iteration cycles, or 'auto' to "
+                             "recycle until the confidence plateaus "
+                             "(single-target mode)")
     parser.add_argument("-m", "--minsteps", type=int, default=DEFAULT_MINSTEPS,
                         required=False, help="number of minimization steps")
     parser.add_argument("-w", "--model_weights", type=str, required=False,
@@ -81,6 +91,10 @@ def _run_batch(args, parser) -> None:
     if args.template is not None and len(inputs) > 1:
         parser.error("-t/--template applies to a single target; batch inputs "
                      "have no shared template")
+    if args.iterations == "auto":
+        parser.error("-n auto is single-target only (early exit inside a "
+                     "shape-bucketed batch would stall on the slowest "
+                     "batchmate; use a fixed -n with -o)")
 
     enable_persistent_cache()
     cfg = FoldConfig.from_cli_args(args)

@@ -29,6 +29,9 @@ from .buckets import bucket_shape
 # single source of defaults: config.FoldConfig (reference predict.py:26-28)
 DEFAULT_ITERATIONS = FoldConfig.iterations
 DEFAULT_MINSTEPS = FoldConfig.minsteps
+# `-n auto` recycles until the confidence plateaus, hard-capped here (the
+# reference default is 10 fixed recycles; predict.py:26-28)
+AUTO_ITERATIONS_CAP = 30
 
 
 # ---------------------------------------------------------------------------
@@ -94,12 +97,16 @@ def resolve_mds_impl(precision: str) -> str:
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
                                    "fused_conv", "refine_impl", "rgru_impl",
-                                   "mds_impl"))
+                                   "mds_impl", "adaptive"))
 def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                  dca_method="cholesky", precision="fp32", vgru_impl="scan",
                  fused_conv=False, refine_impl="xla", rgru_impl="scan",
-                 mds_impl="eigh"):
-    """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf)."""
+                 mds_impl="eigh", adaptive=False):
+    """(n_pad, l_pad) alignment -> ((l_pad, 5, 3) coords, (l_pad,) conf).
+
+    ``adaptive``: `-n auto` mode — ``nloops`` becomes a cap and recycling
+    stops on a confidence plateau; additionally returns the recycle count.
+    """
     def body():
         oh = msa_one_hot(alnmat, nseqs, nres)
         w = reweight(oh, nres)
@@ -109,12 +116,17 @@ def _fold_device(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps
         compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         # fp32_strict is the like-for-like fidelity mode vs a reference run:
         # keep raw LAPACK eigenvector signs (reference network.py:247)
-        return gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
-                                 refine_steps, compute_dtype=compute_dtype,
-                                 vgru_impl=vgru_impl, fused_conv=fused_conv,
-                                 canonical_signs=(precision != "fp32_strict"),
-                                 refine_impl=refine_impl, rgru_impl=rgru_impl,
-                                 mds_impl=mds_impl)
+        out = gruresnet.forward(params, alnmat, x2, nseqs, nres, nloops,
+                                refine_steps, compute_dtype=compute_dtype,
+                                vgru_impl=vgru_impl, fused_conv=fused_conv,
+                                canonical_signs=(precision != "fp32_strict"),
+                                refine_impl=refine_impl, rgru_impl=rgru_impl,
+                                mds_impl=mds_impl, adaptive_recycle=adaptive,
+                                with_aux=adaptive)
+        if adaptive:
+            coords, confs, aux = out
+            return coords, confs, aux["iterations"]
+        return out
 
     if precision == "fp32_strict":
         # full fp32 matmuls everywhere (TPU default decomposes f32 into
@@ -161,24 +173,37 @@ class Folder:
                    vgru_impl=cfg.vgru_impl)
 
     def fold(self, alnmat: np.ndarray, template_ca: np.ndarray | None = None,
-             iterations: int = DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
-        """Fold one target. Returns ((nres, 5, 3) coords, (nres,) confidences)."""
+             iterations=DEFAULT_ITERATIONS, minsteps: int = DEFAULT_MINSTEPS):
+        """Fold one target. Returns ((nres, 5, 3) coords, (nres,) confidences).
+
+        ``iterations`` may be ``"auto"`` (net-new): recycle until the best
+        mean confidence plateaus (2 recycles without improvement), capped at
+        ``AUTO_ITERATIONS_CAP``; the count actually run is left in
+        ``self.last_auto_iterations``.
+        """
+        adaptive = iterations == "auto"
+        nloops = AUTO_ITERATIONS_CAP if adaptive else max(iterations, 0)
         nseqs, nres = alnmat.shape
         n_pad, l_pad = bucket_shape(nseqs, nres, self.use_buckets)
         aln_p = np.zeros((n_pad, l_pad), np.int32)
         aln_p[:nseqs, :nres] = alnmat
         dmap = _build_dmap_channel(l_pad, nres, template_ca)
-        coords, confs = _fold_device(
+        out = _fold_device(
             self.params, jnp.asarray(aln_p), nseqs, nres, jnp.asarray(dmap),
-            jnp.asarray(max(iterations, 0)), jnp.asarray(max(minsteps, 0)),
+            jnp.asarray(nloops), jnp.asarray(max(minsteps, 0)),
             dca_method=self._dca_method(), precision=self.precision,
             vgru_impl=self._vgru_impl(), fused_conv=self._fused_conv(),
             refine_impl=self._refine_impl(), rgru_impl=self._rgru_impl(),
-            mds_impl=self._mds_impl(),
+            mds_impl=self._mds_impl(), adaptive=adaptive,
         )
-        # one host fetch for both outputs (each np.asarray is a separate
+        # one host fetch for all outputs (each np.asarray is a separate
         # round trip on remote-device transports)
-        coords, confs = jax.device_get((coords[:nres], confs[:nres]))
+        if adaptive:
+            coords, confs, iters = jax.device_get(
+                (out[0][:nres], out[1][:nres], out[2]))
+            self.last_auto_iterations = int(iters)
+        else:
+            coords, confs = jax.device_get((out[0][:nres], out[1][:nres]))
         return np.asarray(coords), np.asarray(confs)
 
     def _vgru_impl(self) -> str:

@@ -94,7 +94,9 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             rngs=None, remat: bool = False, compute_dtype=None,
             vgru_impl: str = "scan", fused_conv: bool = False,
             canonical_signs: bool = True, refine_impl: str = "xla",
-            rgru_impl: str = "scan", mds_impl: str = "eigh"):
+            rgru_impl: str = "scan", mds_impl: str = "eigh",
+            adaptive_recycle: bool = False, adaptive_patience: int = 2,
+            with_aux: bool = False):
     """Run the full network.
 
     Args:
@@ -107,6 +109,10 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
       rngs: optional dict of PRNG keys enabling train-time dropout
             ({"hgru", "init", "recycle"}).
       remat: checkpoint the trunk blocks (training memory saver).
+      adaptive_recycle: net-new opt-in (`-n auto`): treat the traced
+            ``nloops`` as a cap and stop once the best mean confidence
+            hasn't improved for ``adaptive_patience`` consecutive recycles.
+      with_aux: also return {"iterations": <recycles actually run>}.
 
     Returns:
       coords (l_pad, 5, 3) and confidence (l_pad,) — valid through nres.
@@ -178,6 +184,7 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         )
 
     carry = (ca_coords, best_mean, best_conf, best_coords)
+    iterations_used = nloops
     if isinstance(nloops, int):
         # static trip count (training: reverse-mode AD) — scan compiles the
         # recycle body once instead of unrolling nloops copies of the trunk
@@ -185,12 +192,34 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
             def scan_body(c, i):
                 return recycle_body(i, c), None
             carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(nloops))
+    elif adaptive_recycle:
+        # net-new opt-in mode (`-n auto`): recycle until the best mean
+        # confidence stops improving for `patience` consecutive iterations,
+        # capped at the traced `nloops`. Device-resident lax.while_loop —
+        # no host round-trips; easy targets exit in 2-4 recycles instead
+        # of paying the full fixed count.
+        def cond(c):
+            _, _, _, _, i, stall = c
+            return jnp.logical_and(i < nloops, stall < adaptive_patience)
+
+        def body_w(c):
+            ca, bm, bc, bcoords, i, stall = c
+            ca2, bm2, bc2, bcoords2 = recycle_body(i, (ca, bm, bc, bcoords))
+            stall = jnp.where(bm2 > bm, 0, stall + 1)
+            return (ca2, bm2, bc2, bcoords2, i + 1, stall)
+
+        state = (*carry, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        state = jax.lax.while_loop(cond, body_w, state)
+        carry, iterations_used = state[:4], state[4]
     else:
         carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)
     _, _, best_conf, best_coords = carry
 
     best_coords = refine_coords(best_coords, refine_steps, nres, impl=refine_impl)
     coords_out = calpha_to_main_chain(best_coords, nres)
+    if with_aux:
+        return coords_out, jax.nn.sigmoid(best_conf), {
+            "iterations": iterations_used}
     return coords_out, jax.nn.sigmoid(best_conf)
 
 

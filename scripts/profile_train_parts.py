@@ -24,16 +24,24 @@ def log(*a):
 
 def timed(label, fn, *args, static=()):
     """jit(fn) with every arg a real argument (params as closure constants
-    would bake 35M weights into the program and stall the compile)."""
+    would bake 35M weights into the program and stall the compile). The
+    output is reduced to ONE scalar in-graph and fetched with float() —
+    on the remote TPU platform block_until_ready does not synchronize;
+    only a value fetch does (same reason bench.py times via float())."""
     import jax
+    import jax.numpy as jnp
 
-    f = jax.jit(fn, static_argnums=static)
-    out = f(*args)
-    jax.block_until_ready(out)
+    def scalar_fn(*a):
+        out = fn(*a)
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for leaf in jax.tree.leaves(out))
+
+    f = jax.jit(scalar_fn, static_argnums=static)
+    float(f(*args))  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        float(f(*args))
         times.append(time.perf_counter() - t0)
     log(f"  {label}: {min(times) * 1000:.1f} ms")
     return min(times)

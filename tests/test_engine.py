@@ -222,3 +222,40 @@ def test_cli_batch_mode_errors(tmp_path):
     with pytest.raises(SystemExit):  # template is single-target only
         run_dmpfold(["-i", str(a), str(tmp_path / "y.aln"), "-t", "tpl.pdb",
                      "-o", str(tmp_path / "o"), "-n", "0", "-m", "0"])
+
+
+def test_adaptive_recycling(params):
+    """`-n auto`: device-resident while_loop recycles until the best mean
+    confidence plateaus (patience 2), capped at AUTO_ITERATIONS_CAP. The
+    result must be bit-identical to a fixed-n run at the count actually
+    executed (same iteration sequence, same best-by-conf tracking)."""
+    alnmat = aln_io.parse_aln(EXAMPLE_ALN)[:30]
+    folder = Folder(params)
+    c_auto, f_auto = folder.fold(alnmat, iterations="auto", minsteps=3)
+    used = folder.last_auto_iterations
+    from dmpfold2_tpu.engine.fold import AUTO_ITERATIONS_CAP
+
+    assert 1 <= used <= AUTO_ITERATIONS_CAP
+    assert np.isfinite(c_auto).all()
+
+    c_fix, f_fix = folder.fold(alnmat, iterations=used, minsteps=3)
+    np.testing.assert_array_equal(c_auto, c_fix)
+    np.testing.assert_array_equal(f_auto, f_fix)
+
+
+def test_cli_auto_iterations_parse():
+    from dmpfold2_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["-i", "x.aln", "-n", "auto"])
+    assert args.iterations == "auto"
+    args = build_parser().parse_args(["-i", "x.aln", "-n", "7"])
+    assert args.iterations == 7
+
+
+def test_cli_auto_rejected_in_batch_mode(tmp_path):
+    from dmpfold2_tpu.cli import run_dmpfold
+
+    a = tmp_path / "a.aln"
+    a.write_text("GWC\n")
+    with pytest.raises(SystemExit):
+        run_dmpfold(["-i", str(a), "-o", str(tmp_path / "o"), "-n", "auto"])
