@@ -49,10 +49,14 @@ def resolve_vgru_impl(setting: str) -> str:
 def resolve_dca_method(setting: str, precision: str) -> str:
     if setting != "auto":
         return setting
+    if precision == "fp32_strict":
+        # bit-fidelity mode mirrors the reference's torch.inverse, which is
+        # LAPACK LU (reference predict.py:53) — the Cholesky inverse differs
+        # at ~1e-6, which 10 recycles can amplify past a bit-match
+        return "lu"
     # recursive Schur inverse keeps the (21L)² inverse on the MXU
-    # (ops/chol.py:schur_spd_inverse; matches the Cholesky inverse to
-    # ~1e-6); fidelity mode keeps the Cholesky path
-    if jax.default_backend() == "tpu" and precision != "fp32_strict":
+    # (ops/chol.py:schur_spd_inverse; matches the Cholesky inverse to ~1e-6)
+    if jax.default_backend() == "tpu":
         return "schur"
     return "cholesky"
 
@@ -165,6 +169,9 @@ class Folder:
     dca_method: str = "auto"  # "lu" | "cholesky" | "schur" | "blocked"
     precision: str = "fp32"   # "bf16" | "fp32" | "fp32_strict" (bit-fidelity)
     vgru_impl: str = "auto"   # "pallas" on TPU, "scan" elsewhere
+    # recycle count actually run by the last `-n auto` fold; None after a
+    # fixed-n fold (or before any fold)
+    last_auto_iterations: int | None = None
 
     @classmethod
     def from_config(cls, params, cfg: FoldConfig) -> "Folder":
@@ -182,6 +189,7 @@ class Folder:
         ``self.last_auto_iterations``.
         """
         adaptive = iterations == "auto"
+        self.last_auto_iterations = None
         nloops = AUTO_ITERATIONS_CAP if adaptive else max(iterations, 0)
         nseqs, nres = alnmat.shape
         n_pad, l_pad = bucket_shape(nseqs, nres, self.use_buckets)

@@ -52,12 +52,19 @@ from ..utils.obs import Counters, log_target
 
 def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
                       refine_steps, *, dca_method="cholesky", precision="fp32",
-                      vgru_impl="scan", fused_conv=False, batched_impl=False,
+                      vgru_impl="scan", fused_conv=False,
                       refine_impl="xla", rgru_impl="scan", mds_impl="eigh"):
     """Batched fold body: (B, N, L) -> ((B, L, 5, 3), (B, L)). Pure function
     of per-device-visible data — used directly under ``jit`` (single device /
     GSPMD) and as the per-shard body under ``shard_map`` (see
     :func:`_fold_batch_shardmap`).
+
+    Always the natively-batched model: one trunk conv per block for the
+    whole batch (required by the Pallas fused conv; also batches the GRU
+    matmuls over B*L columns). There is deliberately no vmapped per-sample
+    fallback here — a second code path with silently different kernel
+    selections would violate the shared-implementation policy
+    (engine/fold.py resolve_*).
 
     fp32_strict applies the same fidelity semantics as the single-target
     engine (engine/fold.py:_fold_device): raw LAPACK eigenvector signs and
@@ -76,32 +83,14 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
         return jnp.concatenate([dca, dmap[:, :, None]], axis=2)
 
     def body():
-        if batched_impl:
-            # natively-batched model: one trunk conv per block for the whole
-            # batch (required by the Pallas fused conv; also batches the GRU
-            # matmuls over B*L columns)
-            x2 = jax.vmap(features)(alnmat, nseqs, nres, dmap_channel)
-            return gruresnet.forward_batched(
-                params, alnmat, x2, nseqs, nres, nloops, refine_steps,
-                compute_dtype=compute_dtype, fused_conv=fused_conv,
-                refine_impl=refine_impl, vgru_impl=vgru_impl,
-                rgru_impl=rgru_impl, canonical_signs=canonical_signs,
-                mds_impl=mds_impl,
-            )
-
-        def one(aln, ns, nr, dmap):
-            x2 = features(aln, ns, nr, dmap)
-            return gruresnet.forward(params, aln, x2, ns, nr, nloops,
-                                     refine_steps, compute_dtype=compute_dtype,
-                                     vgru_impl=vgru_impl, fused_conv=fused_conv,
-                                     canonical_signs=canonical_signs,
-                                     mds_impl=mds_impl)
-
-        # note: the vmapped fallback keeps rgru_impl="scan" — the Pallas
-        # sequence kernel has no batching rule; the natively-batched path
-        # above is the one that benefits (kernel batch dim = targets)
-        return jax.vmap(one, spmd_axis_name="data")(alnmat, nseqs, nres,
-                                                    dmap_channel)
+        x2 = jax.vmap(features)(alnmat, nseqs, nres, dmap_channel)
+        return gruresnet.forward_batched(
+            params, alnmat, x2, nseqs, nres, nloops, refine_steps,
+            compute_dtype=compute_dtype, fused_conv=fused_conv,
+            refine_impl=refine_impl, vgru_impl=vgru_impl,
+            rgru_impl=rgru_impl, canonical_signs=canonical_signs,
+            mds_impl=mds_impl,
+        )
 
     if precision == "fp32_strict":
         with jax.default_matmul_precision("highest"):
@@ -110,16 +99,16 @@ def _fold_batch_local(params, alnmat, nseqs, nres, dmap_channel, nloops,
 
 
 @partial(jax.jit, static_argnames=("dca_method", "precision", "vgru_impl",
-                                   "fused_conv", "batched_impl", "refine_impl",
+                                   "fused_conv", "refine_impl",
                                    "rgru_impl", "mds_impl"))
 def _fold_batch(params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
                 dca_method="cholesky", precision="fp32", vgru_impl="scan",
-                fused_conv=False, batched_impl=False, refine_impl="xla",
+                fused_conv=False, refine_impl="xla",
                 rgru_impl="scan", mds_impl="eigh"):
     return _fold_batch_local(
         params, alnmat, nseqs, nres, dmap_channel, nloops, refine_steps,
         dca_method=dca_method, precision=precision, vgru_impl=vgru_impl,
-        fused_conv=fused_conv, batched_impl=batched_impl,
+        fused_conv=fused_conv,
         refine_impl=refine_impl, rgru_impl=rgru_impl, mds_impl=mds_impl)
 
 
@@ -287,7 +276,6 @@ class BatchFolder:
             dca_method=self._dca_method(), precision=self.precision,
             vgru_impl=self._vgru_impl(),
             fused_conv=self._fused_conv(),
-            batched_impl=True,
             refine_impl=self._refine_impl(),
             rgru_impl=self._rgru_impl(),
             mds_impl=self._mds_impl(),

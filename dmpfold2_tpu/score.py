@@ -5,10 +5,11 @@ loss, train.py:207-225, and ships no way to score a prediction against a
 native structure). This implements the standard CA-based TM-score
 (Zhang & Skolnick 2004): d0 = 1.24*cbrt(N-15) - 1.8, maximized over
 superpositions found by iterative distance-cutoff refinement from multiple
-fragment seeds — the same search strategy as the original TMscore program
-(global seed + L/1, L/2, L/4 sliding fragments, re-superposing on the
-subset of residues under a shrinking cutoff until the aligned set is
-stable). Pure numpy; structures are host-side inputs.
+fragment seeds — a simplified variant of the original TMscore program's
+search (global seed plus L/2 and L/4 sliding fragments with a clamped
+d0_search cutoff; the original additionally runs L/8... windows and a
+GDT-style cutoff ladder, so scores can differ slightly in rare cases).
+Pure numpy; structures are host-side inputs.
 
 Usage:
     python -m dmpfold2_tpu.score model.pdb native.pdb
@@ -68,6 +69,11 @@ def tm_score(pred_ca: np.ndarray, ref_ca: np.ndarray) -> dict:
     if n < 3:
         raise ValueError("need at least 3 CA atoms to superpose")
     d0 = tm_d0(n)
+    # selection cutoff: the original TMscore clamps its search cutoff to
+    # [4.5, 8.0] (d0 itself, unclamped, still normalizes the TM terms) —
+    # an unbounded cutoff would keep outlier residues in the superposition
+    # set for long chains (d0 > 8) and report non-canonical values
+    d0_search = min(max(d0, 4.5), 8.0)
 
     rot, trans = _kabsch(pred, ref)
     rmsd = float(np.sqrt(np.mean(np.sum(np.square(_apply(rot, trans, pred) - ref), 1))))
@@ -90,7 +96,7 @@ def tm_score(pred_ca: np.ndarray, ref_ca: np.ndarray) -> dict:
             terms = _tm_terms(_apply(rot, trans, pred), ref, d0)
             best_tm = max(best_tm, float(terms.mean()))
             d = np.sqrt(np.sum(np.square(_apply(rot, trans, pred) - ref), 1))
-            cutoff = max(d0, 4.5)
+            cutoff = d0_search
             new_sel = np.flatnonzero(d < cutoff)
             while len(new_sel) < 4 and cutoff < 50.0:  # grow until usable
                 cutoff += 0.5

@@ -21,18 +21,40 @@ import jax.numpy as jnp
 from ..config import TrainConfig
 from ..models import gruresnet
 from . import checkpoint as ckpt
-from .dataset import DMPDataset, load_cluster_list, pad_to_bucket
+from .dataset import DMPDataset, load_cluster_list, local_bucket, pad_to_bucket
 from .step import TrainBatch, make_optimizer, train_step
 
 
-def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True):
+def _sample_rng(seed: int, epoch: int, index: int) -> random.Random:
+    """Augmentation RNG for one (epoch, dataset-index) pair.
+
+    Derived, not sequential: every host can compute any sample's draws
+    without having visited the others — the property per-process batch
+    assembly needs (a shared sequential stream would desync the moment one
+    host skips the file IO for a slot it doesn't own).
+    """
+    return random.Random((seed * 1_000_003 + epoch) * 2_654_435_761
+                         + index * 97 + 13)
+
+
+def _make_batches(dataset, indices, micro_batch: int, drop_last: bool = True,
+                  rng_for=None, owned: set[int] | None = None):
+    """Yield lists of Samples (None for batch slots owned by other hosts).
+
+    Assembly (file IO, parsing, augmentation) happens here — under
+    ``_prefetch`` that is a background thread; the consumer pads and
+    uploads. ``owned`` restricts assembly to this process's batch slots
+    (multi-process training): the O(P)-redundant full-batch parse every
+    host used to do is the pod-scale host bottleneck.
+    """
     end = len(indices) - micro_batch + 1 if drop_last else len(indices)
     for start in range(0, max(end, 0), micro_batch):
-        samples = [dataset[i] for i in indices[start : start + micro_batch]]
-        # yield host arrays: the mesh path re-shards them with put_global and
-        # the single-device path lets jit place them — eager jnp.asarray here
-        # would add a host->device->host round trip per batch under a mesh
-        yield TrainBatch(*pad_to_bucket(samples))
+        chunk = indices[start : start + micro_batch]
+        yield [
+            dataset.get(di, rng_for(di) if rng_for is not None else None)
+            if (owned is None or slot in owned) else None
+            for slot, di in enumerate(chunk)
+        ]
 
 
 def _prefetch(iterator, depth: int = 2):
@@ -51,24 +73,41 @@ def _prefetch(iterator, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     end = object()
     failure: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that re-checks stop: if the consumer abandons the
+        # generator mid-epoch (e.g. train_step raised), the worker must not
+        # block forever on a full queue with micro-batches pinned in memory
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as exc:  # re-raised on the consumer thread
             failure.append(exc)
         finally:
-            q.put(end)
+            _put(end)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is end:
-            if failure:
-                raise failure[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def train(data_dir: str = ".", clusters: str = "train_clust.lst",
@@ -153,6 +192,29 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
                   f"(WARNING: no {ckpt.LATEST}; optimizer state may not "
                   f"match params)")
 
+    # multi-process: assemble only the batch slots whose data-axis shards
+    # live on this host's devices (VERDICT round-3 item 8 — every host
+    # parsing the full global micro-batch is O(P) redundant host work).
+    # The global bucket shape is then agreed with a tiny all-gather per
+    # batch, issued from THIS (main) thread so collective launch order
+    # stays identical on every host (the prefetch thread only does IO).
+    owned_slots: set[int] | None = None
+    if mesh is not None and jax.process_count() > 1:
+        from ..parallel.mesh import data_sharded, owned_batch_indices
+
+        owned_slots = owned_batch_indices(
+            data_sharded(mesh, 1), (micro_batch,))
+
+    def global_bucket(samples) -> tuple[int, int]:
+        bucket = local_bucket(samples)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            g = np.asarray(multihost_utils.process_allgather(
+                np.asarray(bucket, np.int32)))
+            bucket = (int(g[..., 0].max()), int(g[..., 1].max()))
+        return bucket
+
     shard_batch = lambda b: b
     if mesh is not None:
         # data-parallel training: weights replicated, micro-batch sharded
@@ -181,10 +243,12 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
     # host must draw the same shuffle, the same per-batch nloops (a STATIC
     # trip count — different values would compile different programs whose
     # collectives deadlock) and the same augmentation choices, or the hosts'
-    # global batches diverge silently. (The reference uses fresh entropy,
-    # train.py:359 — fine single-process; seeding also buys reproducibility.)
+    # global batches diverge silently. Augmentation draws come from a
+    # per-(seed, epoch, index) RNG (_sample_rng) rather than one sequential
+    # stream, so a host can skip samples it doesn't own without desyncing.
+    # (The reference uses fresh entropy, train.py:359 — fine single-process;
+    # seeding also buys reproducibility.)
     train_data = DMPDataset(train_list, data_dir, augment=True,
-                            rng=random.Random(seed ^ 0x5EED),
                             crop_len=cfg.crop_len, max_aln_size=cfg.max_aln_size)
     val_data = DMPDataset(validation_list, data_dir, augment=False,
                           crop_len=cfg.crop_len, max_aln_size=cfg.max_aln_size)
@@ -205,7 +269,11 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
         py_rng.shuffle(indices)
 
         train_err, train_samples, train_bad = 0.0, 0, 0
-        for batch in _prefetch(_make_batches(train_data, indices, micro_batch)):
+        rng_for = lambda di: _sample_rng(seed, epoch, di)
+        for samples in _prefetch(_make_batches(train_data, indices, micro_batch,
+                                               rng_for=rng_for,
+                                               owned=owned_slots)):
+            batch = TrainBatch(*pad_to_bucket(samples, global_bucket(samples)))
             true_size = batch.alnmat.shape[0]
             batch = shard_batch(batch)
             rng, sub = jax.random.split(rng)
@@ -226,8 +294,13 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
         # PRNGKey makes teacher-forcing draws repeat across epochs
         val_rng = jax.random.PRNGKey(1)
         val_err, val_samples, val_bad = 0.0, 0, 0
-        for batch in _prefetch(_make_batches(val_data, list(range(len(val_data))),
-                                             micro_batch, drop_last=False)):
+        # validation keeps full per-host assembly (owned=None): its partial
+        # final batch pads by repeating the tail sample, which the padding
+        # slot's owner can only supply if it assembled it
+        for samples in _prefetch(_make_batches(val_data,
+                                               list(range(len(val_data))),
+                                               micro_batch, drop_last=False)):
+            batch = TrainBatch(*pad_to_bucket(samples, global_bucket(samples)))
             # shard_batch may pad a partial batch by repeating the tail
             # sample; sum only the TRUE samples' losses (eval returns the
             # per-sample vector) so duplicated padding samples don't skew

@@ -88,7 +88,8 @@ def _prep_sample(alnmat, targets, nseqs, nres, rng, *,
     return x2, targets, rng_drop
 
 
-def _resolve_remat(batch_size: int, l_pad: int, nloops: int, fused: bool):
+def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
+                   fused: bool):
     """Pick the trunk rematerialization mode for this (static) step shape.
 
     ``"save_conv"`` banks each block's conv+maxout output (+ the fused
@@ -98,9 +99,15 @@ def _resolve_remat(batch_size: int, l_pad: int, nloops: int, fused: bool):
     the residual footprint across all (nloops+1) unrolled trunk passes and
     fall back to full remat (True) when it would crowd the 16 GB HBM.
     """
+    # trunk geometry from the params pytree (NOT hard-coded defaults: tests
+    # and experiments train smaller models, and a wrong estimate would pick
+    # save_conv where it OOMs or miss it where it fits). The stacked blocks'
+    # maxout weight is (num_blocks, k, k, cwidth, cwidth*pool).
+    blocks_w = params["trunk"]["blocks"]["maxout"]["w"]
+    num_blocks, cwidth = blocks_w.shape[0], blocks_w.shape[3]
     per_elem = 6 if fused else 12  # bytes per (L², cwidth) element saved
-    instances = (nloops + 1) * 16
-    est = instances * batch_size * l_pad * l_pad * 128 * per_elem
+    instances = (nloops + 1) * num_blocks
+    est = instances * batch_size * l_pad * l_pad * cwidth * per_elem
     return "save_conv" if est <= 8e9 else True
 
 
@@ -193,7 +200,7 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
     """
     batch_size = batch.alnmat.shape[0]
     rngs = jax.random.split(rng, batch_size)
-    remat = _resolve_remat(batch_size, batch.alnmat.shape[2], nloops,
+    remat = _resolve_remat(params, batch_size, batch.alnmat.shape[2], nloops,
                            bool(fused_conv))
 
     def batched_loss(p):

@@ -109,6 +109,32 @@ def test_fast_dca_matches_torch(small_msa, method):
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
 
 
+def test_strict_mode_dca_matches_torch_lu_tight(small_msa):
+    """fp32_strict resolves the DCA inverse to LU (the reference's
+    torch.inverse is LAPACK LU, predict.py:53) and the resulting features
+    match the torch path at order-eps: measured max 6e-7 abs on the example
+    (feature scale ~1.3). True bit-for-bit equality is not achievable here —
+    the two frameworks link different LAPACK/BLAS builds whose getrf/getri
+    reductions round differently — so the bound asserts the algorithmic
+    alignment (LU-vs-LU), two decades tighter than the cholesky-vs-LU gap
+    the generic parity test budgets for (2e-4)."""
+    from dmpfold2_tpu.engine.fold import resolve_dca_method
+
+    assert resolve_dca_method("auto", "fp32_strict") == "lu"
+    assert resolve_dca_method("cholesky", "fp32_strict") == "cholesky"
+
+    n, l = small_msa.shape
+    oh = msa_one_hot(jnp.asarray(small_msa), n, l)
+    w = reweight(oh, l)
+    ours = np.asarray(fast_dca(oh, w, n, l, method="lu",
+                               matmul_precision="highest"))
+    oh_t = torch.nn.functional.one_hot(
+        torch.clamp(torch.from_numpy(small_msa.astype(np.int64)), max=20), 21
+    ).float()
+    theirs = torch_fast_dca(oh_t, torch_reweight(oh_t)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-6)
+
+
 def test_fast_dca_padding_invariant(small_msa):
     n, l = small_msa.shape
     padded = np.zeros((n + 8, l + 6), dtype=np.uint8)

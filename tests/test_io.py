@@ -72,7 +72,8 @@ def test_policy_resolution_fidelity():
                                           resolve_fused_conv,
                                           resolve_rgru_impl)
 
-    assert resolve_dca_method("auto", "fp32_strict") == "cholesky"
+    # strict mirrors the reference's torch.inverse = LAPACK LU (predict.py:53)
+    assert resolve_dca_method("auto", "fp32_strict") == "lu"
     assert resolve_rgru_impl("fp32_strict") == "scan"
     assert resolve_fused_conv("fp32_strict") is False
     assert resolve_dca_method("lu", "bf16") == "lu"  # explicit wins

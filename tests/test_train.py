@@ -267,11 +267,27 @@ def test_remat_save_conv_grad_parity():
 
 
 def test_resolve_remat_policy():
+    """Trunk geometry comes from the params pytree, not hard-coded defaults
+    (ADVICE round 3): a small test model must not inherit the flagship's
+    residual estimate."""
+    import jax
+
+    from dmpfold2_tpu.models import gruresnet
     from dmpfold2_tpu.train.step import _resolve_remat
 
+    full = {"trunk": {"blocks": {"maxout": {
+        "w": np.zeros((16, 5, 5, 128, 512))}}}}
     # B=1 crop-350 fused qualifies; bigger batches fall back to full remat
-    assert _resolve_remat(1, 352, 3, fused=True) == "save_conv"
-    assert _resolve_remat(2, 352, 3, fused=True) is True
+    assert _resolve_remat(full, 1, 352, 3, fused=True) == "save_conv"
+    assert _resolve_remat(full, 2, 352, 3, fused=True) is True
     # the unfused residuals are ~2x, so the same shape can fall back
-    assert _resolve_remat(1, 352, 3, fused=False) is True
-    assert _resolve_remat(1, 128, 3, fused=False) == "save_conv"
+    assert _resolve_remat(full, 1, 352, 3, fused=False) is True
+    assert _resolve_remat(full, 1, 128, 3, fused=False) == "save_conv"
+
+    # a small experiment model (width 32, 4 blocks) has 16x fewer residual
+    # bytes: shapes that fall back on the flagship qualify here
+    small = gruresnet.init_params(jax.random.PRNGKey(0), width=64, cwidth=32,
+                                  num_blocks=4)
+    assert small["trunk"]["blocks"]["maxout"]["w"].shape[0] == 4
+    assert _resolve_remat(small, 2, 352, 3, fused=True) == "save_conv"
+    assert _resolve_remat(small, 1, 352, 3, fused=False) == "save_conv"
