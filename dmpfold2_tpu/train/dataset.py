@@ -123,17 +123,36 @@ class DMPDataset:
         self.rng = rng or random.Random()
         self.crop_len = crop_len
         self.max_aln_size = max_aln_size
+        # file-IO observability: lets the multi-process test assert each
+        # host parses only its owned batch slots (train/loop.py)
+        self.reads = 0
 
     def __len__(self) -> int:
         return len(self.sample_list)
 
     def __getitem__(self, idx: int) -> Sample:
+        return self.get(idx)
+
+    def get(self, idx: int, rng: random.Random | None = None) -> Sample:
+        """Load (and augment) one sample.
+
+        ``rng`` overrides the dataset's sequential RNG for this sample's
+        augmentation draws. The training loop derives it per
+        (seed, epoch, index) so augmentation is independent of visitation
+        order — the property that lets a multi-process run skip the file IO
+        for batch slots owned by other hosts without desynchronizing the
+        shared RNG stream (the reference's fresh-entropy draws,
+        train.py:138-162, have no such constraint because it is
+        single-process).
+        """
+        rng = rng or self.rng
         members = self.sample_list[idx]
-        targid = self.rng.choice(members) if self.augment else members[0]
+        targid = rng.choice(members) if self.augment else members[0]
+        self.reads += 1
         _, targets = parse_tdb(os.path.join(self.data_dir, "tdb", targid + ".tdb"))
         alnmat = parse_aln_rows(os.path.join(self.data_dir, "aln", targid + ".aln"))
         if self.augment:
-            alnmat, targets = self._augment(alnmat, targets)
+            alnmat, targets = self._augment(alnmat, targets, rng)
         else:
             if alnmat.shape[0] > 1000:
                 alnmat = alnmat[:1000]
@@ -142,8 +161,8 @@ class DMPDataset:
                 targets = targets[: self.crop_len]
         return Sample(alnmat, targets)
 
-    def _augment(self, alnmat: np.ndarray, targets: np.ndarray):
-        rng = self.rng
+    def _augment(self, alnmat: np.ndarray, targets: np.ndarray,
+                 rng: random.Random):
         nseqs, length = alnmat.shape
 
         # crop terminal gaps of a random row (train.py:139-144)
@@ -175,18 +194,38 @@ class DMPDataset:
         return alnmat, targets
 
 
-def pad_to_bucket(samples: list[Sample]):
-    """Pad a list of samples to their common bucket -> arrays for TrainBatch."""
+def local_bucket(samples: list[Sample | None]) -> tuple[int, int]:
+    """Common bucket of the non-None samples (multi-process callers
+    all-reduce this across hosts before padding — train/loop.py)."""
     n_pad = l_pad = 0
     for s in samples:
+        if s is None:
+            continue
         n, l = bucket_shape(*s.alnmat.shape)
         n_pad, l_pad = max(n_pad, n), max(l_pad, l)
+    return n_pad, l_pad
+
+
+def pad_to_bucket(samples: list[Sample | None],
+                  bucket: tuple[int, int] | None = None):
+    """Pad samples to a common bucket -> arrays for TrainBatch.
+
+    ``None`` entries are batch slots owned by another process's devices
+    (multi-process training assembles only local slots); they stay zero —
+    ``mesh.put_global`` never reads them, the owning process supplies the
+    real shard. ``bucket`` overrides the locally-derived shape (required
+    whenever any slot is None: all hosts must pad to the same global
+    bucket).
+    """
+    n_pad, l_pad = bucket if bucket is not None else local_bucket(samples)
     b = len(samples)
     alnmat = np.zeros((b, n_pad, l_pad), np.int32)
     targets = np.zeros((b, l_pad, 5, 3), np.float32)
     nseqs = np.zeros((b,), np.int32)
     nres = np.zeros((b,), np.int32)
     for i, s in enumerate(samples):
+        if s is None:
+            continue
         n, l = s.alnmat.shape
         alnmat[i, :n, :l] = s.alnmat
         targets[i, :l] = s.targets

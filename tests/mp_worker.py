@@ -36,6 +36,93 @@ def make_targets():
     return targets
 
 
+N_TRAIN_CLUSTERS = 8
+TRAIN_MICRO_BATCH = 4
+
+
+def make_train_dataset(root: str) -> None:
+    """Synthetic tdb/aln training data, bit-identical on every caller.
+
+    2 validation clusters + N_TRAIN_CLUSTERS train clusters over 4 targets
+    (the loader is patched to a 2-cluster validation split in
+    run_training_loop).
+    """
+    os.makedirs(os.path.join(root, "tdb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "aln"), exist_ok=True)
+    rng = np.random.default_rng(21)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    ids = []
+    for k in range(4):
+        length = 14 + 2 * k
+        tid = f"t{k}"
+        ids.append(tid)
+        classes = rng.integers(0, 20, length)
+        # helix-ish coords: random ones make the Kabsch SVD gradient
+        # degenerate and the non-finite guard would skip every step
+        t = np.arange(length, dtype=np.float32)
+        helix = np.stack([2.3 * np.cos(0.6 * t), 2.3 * np.sin(0.6 * t),
+                          1.5 * t], -1)
+        coords = helix[:, None, :] + rng.normal(size=(length, 5, 3)) * 0.3
+        with open(os.path.join(root, "tdb", f"{tid}.tdb"), "w") as fh:
+            fh.write("# synthetic\n")
+            for i, cls in enumerate(classes):
+                line = list(" " * 39)
+                line[5] = letters[cls % 20]
+                row = "".join(line)
+                for atom in coords[i]:
+                    row += "".join(f"{v:9.3f}" for v in atom)
+                fh.write(row + "\n")
+        rows = ["".join(letters[c] for c in classes)]
+        for _ in range(5):
+            rows.append("".join(
+                letters[c] if rng.random() > 0.2 else "-"
+                for c in rng.integers(0, 20, length)))
+        with open(os.path.join(root, "aln", f"{tid}.aln"), "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+    clusters = [ids[0], ids[1]]  # validation (first 2)
+    for k in range(N_TRAIN_CLUSTERS):
+        clusters.append(" ".join({0: [ids[2]], 1: [ids[3]],
+                                  2: [ids[2], ids[3]]}[k % 3]))
+    with open(os.path.join(root, "clusters.lst"), "w") as fh:
+        fh.write("\n".join(clusters) + "\n")
+
+
+def run_training_loop(data_root: str, workdir: str, mesh):
+    """One epoch of the REAL training loop (per-process batch assembly path).
+
+    Returns (params, io_reads): io_reads counts dataset file loads on this
+    process — multi-process runs must only assemble their owned batch slots.
+    """
+    from dmpfold2_tpu.config import TrainConfig
+    from dmpfold2_tpu.train import dataset as ds_mod
+    from dmpfold2_tpu.train import loop as loop_mod
+
+    datasets = []
+    real_cls = ds_mod.DMPDataset
+
+    class CountingDataset(real_cls):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            datasets.append(self)
+
+    os.makedirs(workdir, exist_ok=True)
+    orig_loader = loop_mod.load_cluster_list
+    loop_mod.DMPDataset = CountingDataset
+    loop_mod.load_cluster_list = (
+        lambda p: ds_mod.load_cluster_list(p, validation_clusters=2))
+    try:
+        params = loop_mod.train(
+            data_dir=data_root, clusters="clusters.lst", workdir=workdir,
+            num_epochs=1, micro_batch=TRAIN_MICRO_BATCH, accum_steps=4,
+            restart=False, refine_steps=2, seed=5,
+            model_kwargs=dict(width=16, cwidth=8, num_blocks=2),
+            mesh=mesh, cfg=TrainConfig(max_iterations=1))
+    finally:
+        loop_mod.DMPDataset = real_cls
+        loop_mod.load_cluster_list = orig_loader
+    return params, sum(d.reads for d in datasets)
+
+
 def main():
     coord, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                                  sys.argv[4])
@@ -93,15 +180,28 @@ def main():
     delta = float(jnp_abs_max_delta(params_d, new_params))
     assert delta > 0.0, "training step did not update parameters"
 
+    # --- one epoch of the real training loop: per-process batch assembly
+    # (each host parses only its owned slots; results must match the
+    # single-process run the parent test performs)
+    data_root = f"{outdir}/data{pid}"
+    make_train_dataset(data_root)
+    trained, io_reads = run_training_loop(data_root, f"{outdir}/work{pid}",
+                                          mesh)
+    trained_leaves = {f"trained{i}": np.asarray(x)
+                      for i, x in enumerate(jax.tree.leaves(trained))}
+
     np.savez(
         f"{outdir}/proc{pid}.npz",
         loss=np.float32(loss),
         local_targets=np.int32(local_targets),
         global_targets=np.int32(global_counters.targets),
+        io_reads=np.int32(io_reads),
+        **trained_leaves,
         **{f"coords{i}": r[0] for i, r in enumerate(results)},
         **{f"confs{i}": r[1] for i, r in enumerate(results)},
     )
-    print(f"proc {pid}: OK loss={loss} local_targets={local_targets}", flush=True)
+    print(f"proc {pid}: OK loss={loss} local_targets={local_targets} "
+          f"io_reads={io_reads}", flush=True)
 
 
 def jnp_abs_max_delta(a, b):

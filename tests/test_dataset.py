@@ -293,3 +293,29 @@ def test_prefetch_order_and_errors():
         for x in _prefetch(boom()):
             got.append(x)
     assert got == [1, 2]
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """If the consumer abandons the generator mid-epoch (e.g. train_step
+    raised), the producer thread must stop instead of blocking forever on a
+    full queue with micro-batches pinned (ADVICE round 3)."""
+    import time
+
+    from dmpfold2_tpu.train.loop import _prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = _prefetch(gen(), depth=2)
+    assert next(it) == 0 and next(it) == 1
+    it.close()  # consumer walks away (close runs the generator's finally)
+    time.sleep(0.3)
+    n = len(produced)
+    time.sleep(0.3)
+    # producer neither raced through the whole epoch nor is still running
+    assert len(produced) == n
+    assert n < 20

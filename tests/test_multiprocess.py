@@ -110,3 +110,35 @@ def test_two_process_train_step_losses_agree(mp_outputs):
     losses = [float(mp_outputs[pid]["loss"]) for pid in (0, 1)]
     assert np.isfinite(losses).all()
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+def test_two_process_training_loop_matches_single_with_half_the_io(
+        mp_outputs, tmp_path):
+    """The real training loop with per-process batch assembly: each host
+    parses only its OWNED batch slots (half the train-set file IO), yet the
+    trained parameters match a single-process run of the same mesh-shaped
+    program (VERDICT round-3 item 8)."""
+    import jax
+
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+    from mp_worker import (N_TRAIN_CLUSTERS, make_train_dataset,
+                           run_training_loop)
+
+    data_root = tmp_path / "data"
+    make_train_dataset(str(data_root))
+    mesh = make_mesh(n_data=4, n_seq=2)  # 8 in-process CPU devices
+    params, single_reads = run_training_loop(str(data_root),
+                                             str(tmp_path / "work"), mesh)
+
+    n_val = 2  # validation clusters (full assembly on every host)
+    assert single_reads == N_TRAIN_CLUSTERS + n_val
+    leaves = jax.tree.leaves(params)
+    for pid in (0, 1):
+        out = mp_outputs[pid]
+        # each worker read only its owned half of the train samples
+        assert int(out["io_reads"]) == N_TRAIN_CLUSTERS // 2 + n_val, (
+            pid, int(out["io_reads"]))
+        for i, leaf in enumerate(leaves):
+            np.testing.assert_allclose(
+                out[f"trained{i}"], np.asarray(leaf), rtol=2e-5, atol=2e-5,
+                err_msg=f"proc {pid} trained leaf {i} diverges")
