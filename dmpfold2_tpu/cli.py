@@ -46,7 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-d", "--device", type=str, default=None, required=False,
                         help="device to run on (ignored; JAX auto-selects)")
     parser.add_argument("-t", "--template", type=str, required=False,
-                        help="use a PDB file as a template")
+                        nargs="+",
+                        help="use a PDB file as a template; in batch mode "
+                             "(-o with several -i inputs) pass one template "
+                             "per input positionally, with '-' for targets "
+                             "without one")
     parser.add_argument("-n", "--iterations", type=_iterations_arg,
                         default=DEFAULT_ITERATIONS, required=False,
                         help="number of iteration cycles, or 'auto' to "
@@ -88,9 +92,18 @@ def _run_batch(args, parser) -> None:
     if dup:
         parser.error(f"duplicate output stems {sorted(dup)}: inputs would "
                      "overwrite each other's PDBs; rename the files")
-    if args.template is not None and len(inputs) > 1:
-        parser.error("-t/--template applies to a single target; batch inputs "
-                     "have no shared template")
+    templates: list[str | None] = [None] * len(inputs)
+    if args.template is not None:
+        if len(args.template) == 1 and len(inputs) > 1:
+            parser.error("-t/--template takes one template PER INPUT in "
+                         "batch mode (use '-' for targets without one); a "
+                         "single shared template across different targets "
+                         "is almost certainly a mistake")
+        if len(args.template) != len(inputs):
+            parser.error(f"-t got {len(args.template)} templates for "
+                         f"{len(inputs)} inputs; counts must match "
+                         "positionally ('-' = no template)")
+        templates = [None if t == "-" else t for t in args.template]
     if args.iterations == "auto":
         parser.error("-n auto is single-target only (early exit inside a "
                      "shape-bucketed batch would stall on the slowest "
@@ -98,10 +111,12 @@ def _run_batch(args, parser) -> None:
 
     enable_persistent_cache()
     cfg = FoldConfig.from_cli_args(args)
-    template_ca = (pdb_io.parse_template_ca(args.template)
-                   if args.template is not None else None)
-    targets = [Target(alnmat=parse_aln(p), template_ca=template_ca)
-               for p in inputs]
+    targets = [
+        Target(alnmat=parse_aln(p),
+               template_ca=(pdb_io.parse_template_ca(t)
+                            if t is not None else None))
+        for p, t in zip(inputs, templates)
+    ]
     params = load_weights(cfg.weights_file)
     folder = BatchFolder(params, batch_size=args.batch_size,
                          precision=cfg.precision, dca_method=cfg.dca_method,
@@ -137,6 +152,9 @@ def run_dmpfold(argv=None) -> None:
         parser.error("multiple inputs need -o/--out-dir (one PDB per target)")
     if args.out_dir is not None:
         return _run_batch(args, parser)
+    if args.template is not None and len(args.template) > 1:
+        parser.error("multiple -t templates need batch mode (-o with "
+                     "matching -i inputs)")
     config = FoldConfig.from_cli_args(args)
     coords, confs, alnmat = aln_to_coords(
         args.input_file[0], device=args.device, return_alnmat=True, config=config,

@@ -29,11 +29,18 @@ class FoldConfig:
 
     @classmethod
     def from_cli_args(cls, args) -> "FoldConfig":
+        # -t is nargs="+" at the CLI (per-target templates in batch mode);
+        # this single-target config takes the lone path, '-' meaning none
+        template = args.template
+        if isinstance(template, (list, tuple)):
+            template = template[0] if template else None
+        if template == "-":
+            template = None
         cfg = cls(
             iterations=args.iterations,
             minsteps=args.minsteps,
             device=args.device,
-            template=args.template,
+            template=template,
             weights_file=args.model_weights,
         )
         # TPU-native knobs are optional CLI additions (reference has 6 flags)

@@ -7,8 +7,18 @@ engine (``BatchFolder``), falling back to the single-target path under low
 load. Endpoints:
 
   POST /fold?iterations=10&minsteps=100   body: aln text -> PDB text
+  POST /fold   (Content-Type: application/json)
+       body: {"aln": "...", "template_pdb": "ATOM...", "iterations": 10,
+              "minsteps": 100} -> PDB text — the JSON form carries an
+       optional template PDB (CLI ``-t`` parity; reference
+       predict.py:106-119 template-seeded prediction)
   GET  /healthz                           liveness (cached; folds at most once)
   GET  /stats                             throughput + batching counters (JSON)
+
+Request hardening: bodies above ``--max-body-mb`` are rejected with 413
+without reading them, a missing/invalid Content-Length is a 411/400, and a
+client that stalls mid-body trips the socket read timeout (408) instead of
+wedging the handler thread.
 
 Run: ``python -m dmpfold2_tpu.serve --port 8080 [--weights params.npz]``.
 The reference has no serving story (CLI-only); this is net-new surface.
@@ -45,6 +55,7 @@ class _FoldRequest:
     alnmat: np.ndarray
     iterations: int
     minsteps: int
+    template_ca: np.ndarray | None = None
     event: threading.Event = field(default_factory=threading.Event)
     result: tuple | None = None
     error: Exception | None = None
@@ -62,7 +73,11 @@ class FoldService:
 
     def __init__(self, params, precision: str = "bf16",
                  config: FoldConfig | None = None,
-                 batch_window_s: float = 0.05, max_batch: int = 8):
+                 batch_window_s: float = 0.05, max_batch: int = 8,
+                 max_body_bytes: int = 64 * 2 ** 20,
+                 read_timeout_s: float = 30.0):
+        self.max_body_bytes = max_body_bytes
+        self.read_timeout_s = read_timeout_s
         cfg = config or FoldConfig(precision=precision)
         self.config = cfg
         self.counters = Counters()
@@ -117,15 +132,22 @@ class FoldService:
 
     # -- request path ------------------------------------------------------
 
-    def fold_aln_text(self, text: str, iterations: int, minsteps: int) -> str:
+    def fold_aln_text(self, text: str, iterations: int, minsteps: int,
+                      template_ca: np.ndarray | None = None) -> str:
         # accepts aln or a3m bodies (lowercase insertion states stripped)
         rows = aln_io.a3m_to_rows(text)
         alnmat = aln_io.encode_rows(rows)
         if alnmat.shape[0] > aln_io.MAX_SEQS:
             alnmat = alnmat[: aln_io.MAX_SEQS]
+        if template_ca is not None and template_ca.shape[0] != alnmat.shape[1]:
+            # validate before enqueueing so a bad template is a client error
+            # (400), not a dispatch-time batch failure
+            raise ValueError(
+                f"template has {template_ca.shape[0]} CA atoms but alignment "
+                f"has {alnmat.shape[1]} residues — lengths must match")
         if self._closed:
             raise RuntimeError("service is shutting down")
-        req = _FoldRequest(alnmat, iterations, minsteps)
+        req = _FoldRequest(alnmat, iterations, minsteps, template_ca)
         self._queue.put(req)
         while not req.event.wait(timeout=1.0):
             # belt for the close() race: if the dispatcher exited after we
@@ -196,7 +218,8 @@ class FoldService:
             r = reqs[0]
             try:
                 r.result = self.folder.fold(
-                    r.alnmat, iterations=iterations, minsteps=minsteps)
+                    r.alnmat, r.template_ca,
+                    iterations=iterations, minsteps=minsteps)
                 self.counters.record(r.alnmat.shape[1])
             except Exception as exc:
                 r.error = exc
@@ -208,7 +231,8 @@ class FoldService:
         self.batcher.batch_size = 2 if len(reqs) == 2 else self.max_batch
         try:
             results = self.batcher.fold_many(
-                [Target(alnmat=r.alnmat) for r in reqs],
+                [Target(alnmat=r.alnmat, template_ca=r.template_ca)
+                 for r in reqs],
                 iterations=iterations, minsteps=minsteps)
         except Exception as exc:
             for r in reqs:
@@ -225,6 +249,11 @@ class FoldService:
 
 def make_handler(service: FoldService):
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout for all reads on this connection: a client that
+        # stalls mid-request-body cannot wedge a handler thread forever
+        # (BaseHTTPRequestHandler applies this via connection.settimeout)
+        timeout = service.read_timeout_s
+
         def log_message(self, fmt, *args):  # quiet default access log
             pass
 
@@ -258,22 +287,72 @@ def make_handler(service: FoldService):
             else:
                 self._send(404, "not found\n")
 
+        def _read_body(self) -> bytes | None:
+            """Bounded, timeout-guarded body read; sends the error response
+            and returns None on failure."""
+            raw_len = self.headers.get("Content-Length")
+            if raw_len is None:
+                self._send(411, "length required\n")
+                return None
+            try:
+                length = int(raw_len)
+            except ValueError:
+                self._send(400, f"bad Content-Length: {raw_len!r}\n")
+                return None
+            if length < 0:
+                self._send(400, "bad Content-Length: negative\n")
+                return None
+            if length > service.max_body_bytes:
+                # reject BEFORE reading: a malicious Content-Length must not
+                # make the server buffer an arbitrarily large body
+                self._send(413, f"body too large ({length} bytes > "
+                                f"{service.max_body_bytes} limit)\n")
+                return None
+            try:
+                body = self.rfile.read(length)
+            except TimeoutError:  # socket.timeout: client stalled mid-body
+                self._send(408, "request body read timed out\n")
+                return None
+            if len(body) < length:  # client closed early
+                self._send(400, "truncated body\n")
+                return None
+            return body
+
         def do_POST(self):
             parsed = urlparse(self.path)
             if parsed.path != "/fold":
                 self._send(404, "not found\n")
                 return
+            body = self._read_body()
+            if body is None:
+                return
             query = parse_qs(parsed.query)
+            template_ca = None
             try:
                 iterations = int(query.get("iterations", [DEFAULT_ITERATIONS])[0])
                 minsteps = int(query.get("minsteps", [DEFAULT_MINSTEPS])[0])
-                length = int(self.headers.get("Content-Length", 0))
-                text = self.rfile.read(length).decode()
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/json":
+                    # JSON form: alignment + optional template PDB text
+                    # (CLI -t parity; reference predict.py:106-119), with
+                    # iterations/minsteps overridable in the body
+                    doc = json.loads(body.decode())
+                    if not isinstance(doc, dict) or "aln" not in doc:
+                        raise ValueError('JSON body must be {"aln": ...}')
+                    text = str(doc["aln"])
+                    iterations = int(doc.get("iterations", iterations))
+                    minsteps = int(doc.get("minsteps", minsteps))
+                    if doc.get("template_pdb"):
+                        template_ca = pdb_io.parse_template_ca_text(
+                            str(doc["template_pdb"]))
+                else:
+                    text = body.decode()
             except (ValueError, UnicodeDecodeError) as exc:
                 self._send(400, f"bad request: {exc}\n")
                 return
             try:
-                pdb_text = service.fold_aln_text(text, iterations, minsteps)
+                pdb_text = service.fold_aln_text(text, iterations, minsteps,
+                                                 template_ca)
             except ValueError as exc:  # malformed alignment -> client error
                 self._send(400, f"bad alignment: {exc}\n")
                 return
@@ -287,9 +366,13 @@ def make_handler(service: FoldService):
 
 def serve(params, host: str = "0.0.0.0", port: int = 8080,
           precision: str = "bf16", config: FoldConfig | None = None,
-          batch_window_s: float = 0.05, max_batch: int = 8) -> ThreadingHTTPServer:
+          batch_window_s: float = 0.05, max_batch: int = 8,
+          max_body_bytes: int = 64 * 2 ** 20,
+          read_timeout_s: float = 30.0) -> ThreadingHTTPServer:
     service = FoldService(params, precision, config,
-                          batch_window_s=batch_window_s, max_batch=max_batch)
+                          batch_window_s=batch_window_s, max_batch=max_batch,
+                          max_body_bytes=max_body_bytes,
+                          read_timeout_s=read_timeout_s)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.fold_service = service  # exposed for warmup / introspection
     return server
@@ -306,6 +389,10 @@ def main(argv=None):
     ap.add_argument("--batch-window-ms", type=float, default=50.0,
                     help="request-coalescing window for batched dispatch")
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-body-mb", type=float, default=64.0,
+                    help="reject request bodies above this size (413)")
+    ap.add_argument("--read-timeout-s", type=float, default=30.0,
+                    help="socket read timeout per request (408 on stall)")
     ap.add_argument("--warmup", default="256x96,256x128", metavar="NxL,...",
                     help="comma-separated (nseqs x nres) shapes to precompile "
                          "before accepting traffic — set to the deployment's "
@@ -320,7 +407,9 @@ def main(argv=None):
     params = load_weights(args.weights)
     server = serve(params, args.host, args.port, args.precision,
                    batch_window_s=args.batch_window_ms / 1000.0,
-                   max_batch=args.max_batch)
+                   max_batch=args.max_batch,
+                   max_body_bytes=int(args.max_body_mb * 2 ** 20),
+                   read_timeout_s=args.read_timeout_s)
     # graceful drain on SIGTERM/SIGINT (load balancers send SIGTERM on
     # rollouts): stop accepting work, fail queued requests fast, let the
     # in-flight device batch finish, then return from serve_forever

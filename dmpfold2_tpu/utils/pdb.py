@@ -22,23 +22,33 @@ def parse_template_ca(path: str) -> np.ndarray:
 
     Mirrors the reference's column slicing (predict.py:106-117).
     """
-    coords = []
     with open(path) as fh:
-        for line in fh:
-            if line[:4] == "ATOM" and line[12:16] == " CA ":
-                # keep only the primary conformer: alternate-location CA
-                # records (altLoc column 17 = 'B', 'C', ...) would duplicate
-                # residues and trip the template-length validation
-                if len(line) > 16 and line[16] not in (" ", "A"):
-                    continue
-                coords.append(
-                    np.array(
-                        [float(line[30:38]), float(line[38:46]), float(line[46:54])],
-                        dtype=np.float32,
-                    )
+        return parse_template_ca_lines(fh, origin=path)
+
+
+def parse_template_ca_text(text: str) -> np.ndarray:
+    """Like :func:`parse_template_ca` but from PDB text already in memory
+    (e.g. a template carried in an HTTP request body)."""
+    return parse_template_ca_lines(text.splitlines(), origin="<text>")
+
+
+def parse_template_ca_lines(lines: Iterable[str], origin: str = "?") -> np.ndarray:
+    coords = []
+    for line in lines:
+        if line[:4] == "ATOM" and line[12:16] == " CA ":
+            # keep only the primary conformer: alternate-location CA
+            # records (altLoc column 17 = 'B', 'C', ...) would duplicate
+            # residues and trip the template-length validation
+            if len(line) > 16 and line[16] not in (" ", "A"):
+                continue
+            coords.append(
+                np.array(
+                    [float(line[30:38]), float(line[38:46]), float(line[46:54])],
+                    dtype=np.float32,
                 )
+            )
     if not coords:
-        raise ValueError(f"no CA atoms found in template {path}")
+        raise ValueError(f"no CA atoms found in template {origin}")
     return np.stack(coords)
 
 

@@ -71,6 +71,118 @@ def test_fold_a3m_body(server_url):
         assert resp.status == 200
 
 
+def _template_pdb_text(nres: int, seed: int = 3) -> str:
+    """CA-only PDB text with ``nres`` residues (valid fixed columns)."""
+    import numpy as np
+
+    from dmpfold2_tpu.utils.pdb import format_pdb
+
+    rng = np.random.default_rng(seed)
+    coords = rng.normal(size=(nres, 5, 3)).astype(np.float32) * 3
+    confs = np.full((nres,), 0.5, np.float32)
+    return "\n".join(format_pdb(coords, confs, np.zeros((nres,), np.int64)))
+
+
+def test_fold_json_template_roundtrip(server_url):
+    """JSON body with a template PDB reaches the template-seeded path
+    (CLI -t parity; reference predict.py:106-119)."""
+    aln = "IKLTVGGVDITFEPN\nITLTIAGTDISFEPT\n"
+    doc = {"aln": aln, "template_pdb": _template_pdb_text(15),
+           "iterations": 1, "minsteps": 2}
+    req = urllib.request.Request(
+        f"{server_url}/fold", data=json.dumps(doc).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        body = resp.read().decode()
+    assert body.startswith("REMARK  CONF:")
+    assert body.rstrip().endswith("END")
+
+
+def test_fold_json_template_affects_result(server_url):
+    """The template must actually seed the dmap channel: folding with and
+    without it from the same alignment gives different coordinates."""
+    aln = "IKLTVGGVDITFEPN\nITLTIAGTDISFEPT\n"
+    out = {}
+    for name, doc in (
+        ("plain", {"aln": aln, "iterations": 0, "minsteps": 0}),
+        ("tmpl", {"aln": aln, "template_pdb": _template_pdb_text(15),
+                  "iterations": 0, "minsteps": 0}),
+    ):
+        req = urllib.request.Request(
+            f"{server_url}/fold", data=json.dumps(doc).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            out[name] = resp.read().decode()
+    assert out["plain"] != out["tmpl"]
+
+
+def test_fold_json_template_length_mismatch_400(server_url):
+    doc = {"aln": "ARNDARND\n", "template_pdb": _template_pdb_text(5)}
+    req = urllib.request.Request(
+        f"{server_url}/fold", data=json.dumps(doc).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+        assert "lengths must match" in err.read().decode()
+
+
+@pytest.fixture(scope="module")
+def hardened_url():
+    """Server with a tiny body cap and a short read timeout."""
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=16, cwidth=8,
+                                   num_blocks=2)
+    server = serve(params, host="127.0.0.1", port=0, precision="fp32",
+                   max_body_bytes=1000, read_timeout_s=0.5)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", port
+    server.shutdown()
+    server.fold_service.close()
+
+
+def test_oversized_body_rejected_413(hardened_url):
+    url, _ = hardened_url
+    req = urllib.request.Request(f"{url}/fold", data=b"A" * 2000,
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 413"
+    except urllib.error.HTTPError as err:
+        assert err.code == 413
+
+
+def test_slow_client_times_out_408(hardened_url):
+    """A client that stalls mid-body gets a 408 (and frees the handler
+    thread) instead of holding the connection open forever."""
+    import socket
+
+    _, port = hardened_url
+    with socket.create_connection(("127.0.0.1", port), timeout=10) as sock:
+        sock.sendall(b"POST /fold HTTP/1.1\r\nHost: x\r\n"
+                     b"Content-Length: 100\r\n\r\npartial")
+        sock.settimeout(10)
+        data = sock.recv(4096)
+    assert b"408" in data.split(b"\r\n", 1)[0]
+
+
+def test_truncated_body_400(hardened_url):
+    """Client closes before sending the promised Content-Length."""
+    import socket
+
+    _, port = hardened_url
+    with socket.create_connection(("127.0.0.1", port), timeout=10) as sock:
+        sock.sendall(b"POST /fold HTTP/1.1\r\nHost: x\r\n"
+                     b"Content-Length: 100\r\n\r\npartial")
+        sock.shutdown(socket.SHUT_WR)
+        sock.settimeout(10)
+        data = sock.recv(4096)
+    assert b"400" in data.split(b"\r\n", 1)[0]
+
+
 def test_concurrent_requests_are_batched():
     """Concurrent same-config requests coalesce into one device dispatch
     (the serving layer's batching promise — VERDICT round 1 item 8)."""
