@@ -48,7 +48,7 @@ def _perm_indices(c_out: int, pool: int):
 
 def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
             c_in: int, c_out: int, pool: int, with_argmax: bool,
-            with_stats: bool):
+            with_stats: bool, n_win: int):
     if with_stats:
         nr_ref, j0_ref = refs[:2]
         refs = refs[2:]
@@ -61,12 +61,36 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
         o_ref, win_ref, sem = refs[:3]
         sh_refs = refs[3:]
     i = pl.program_id(0)
+    n_bands = pl.num_programs(0)
 
-    dma = pltpu.make_async_copy(
-        x_ref.at[pl.ds(i * t_rows, t_rows + 2 * PAD)], win_ref, sem
-    )
-    dma.start()
-    dma.wait()
+    # double-buffered window DMA (n_win=2): two slots in win_ref / sem so
+    # band i+1's HBM->VMEM copy streams in underneath band i's compaction +
+    # matmuls (the v1 kernel did start();wait() back-to-back — every band
+    # stalled on its own copy). TPU grid steps run sequentially on one
+    # core, so slot (i+1)%2's previous occupant (band i-1) was consumed
+    # last step. n_win=1 keeps the serial copy for row widths where the
+    # second window slot would overflow VMEM (the wrapper decides).
+    def window_dma(slot, band):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(band * t_rows, t_rows + 2 * PAD)],
+            win_ref.at[slot], sem.at[slot])
+
+    if n_win == 2:
+        @pl.when(i == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            window_dma((i + 1) % 2, i + 1).start()
+
+        window_dma(i % 2, i).wait()
+        cur_win = win_ref.at[i % 2]
+    else:
+        dma = window_dma(0, i)
+        dma.start()
+        dma.wait()
+        cur_win = win_ref.at[0]
 
     # Compact the window into ONE wide dx-interleaved 2D buffer: flat row
     # (r*l_al + c), lane block [dx*c_in, (dx+1)*c_in) holds window element
@@ -77,7 +101,7 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
     win_rows = t_rows + 2 * PAD
     (sh_ref,) = sh_refs
     for dx in range(KSIZE):
-        sh_ref[:, dx * c_in : (dx + 1) * c_in] = win_ref[
+        sh_ref[:, dx * c_in : (dx + 1) * c_in] = cur_win[
             :, dx : dx + l_al, :].reshape(win_rows * l_al, c_in)
 
     acc = jnp.zeros((t_rows * l_al, c_out), jnp.float32)
@@ -123,11 +147,18 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
 
 
 def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
-               with_argmax: bool) -> int:
+               with_argmax: bool, n_win: int = 1) -> int:
     """Largest row-band that fits the VMEM budget; 0 if even one row does
-    not fit (callers must fall back to the XLA conv path then)."""
-    # budget by total VMEM: fp32 accumulator + window + KSIZE shifted
-    # bf16 buffers + weights + output band, within ~12 MB of the 16 MB VMEM
+    not fit (callers must fall back to the XLA conv path then).
+
+    ``n_win``: window-buffer slots. 2 = double-buffered DMA (band i+1's
+    copy overlaps band i's compute); the wrapper prefers 2 and falls back
+    to 1 only where the second slot would not fit (row widths near the
+    VMEM ceiling).
+    """
+    # budget by total VMEM: fp32 accumulator + n_win window slots + the
+    # dx-interleaved bf16 buffer + weights + output band, within ~12 MB of
+    # the 16 MB VMEM
     l_al = -(-l_cols // 8) * 8
     w_win = -(-(l_al + 2 * PAD) // 8) * 8
     weights = KSIZE * KSIZE * c_in * c_out * 2
@@ -136,7 +167,7 @@ def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
     out_bytes = 2 + (4 if with_argmax else 0)
     for t in (20, 16, 10, 8, 5, 4, 2, 1):
         acc = t * l_al * c_out * 4
-        win = (t + 2 * PAD) * w_win * c_in * 2
+        win = n_win * (t + 2 * PAD) * w_win * c_in * 2
         shifted = KSIZE * (t + 2 * PAD) * l_al * c_in * 2
         out = t * l_cols * (c_out // pool) * out_bytes
         if acc + win + shifted + weights + out <= 12 * 2 ** 20:
@@ -158,16 +189,18 @@ def fused_fits(l_cols: int, c_out: int = 512, c_in: int = 128, pool: int = 4,
 
 
 def _divisor_band(tall: int, l_cols: int, c_out: int, c_in: int, pool: int,
-                  with_argmax: bool) -> int:
-    budget = _pick_band(l_cols, c_out, c_in, pool, with_argmax)
-    if budget <= 0:
-        raise ValueError(
-            f"fused conv band does not fit VMEM at row width {l_cols}; "
-            "gate callers with kernels.conv_block.fused_fits()")
-    for t in range(budget, 0, -1):
-        if tall % t == 0:
-            return t
-    return 1
+                  with_argmax: bool) -> tuple[int, int]:
+    """(band rows, window slots): double-buffered when the 2nd slot fits."""
+    for n_win in (2, 1):
+        budget = _pick_band(l_cols, c_out, c_in, pool, with_argmax, n_win)
+        if budget > 0:
+            for t in range(budget, 0, -1):
+                if tall % t == 0:
+                    return t, n_win
+            return 1, n_win
+    raise ValueError(
+        f"fused conv band does not fit VMEM at row width {l_cols}; "
+        "gate callers with kernels.conv_block.fused_fits()")
 
 
 @partial(jax.jit, static_argnames=("pool", "interpret", "with_argmax",
@@ -225,9 +258,11 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
 
     if with_stats:
         # bands must not cross target boundaries: pick t_rows | stride
-        t_rows = _divisor_band(stride, l_cols, c_out, c_in, pool, with_argmax)
+        t_rows, n_win = _divisor_band(stride, l_cols, c_out, c_in, pool,
+                                      with_argmax)
     else:
-        t_rows = _divisor_band(tall, l_cols, c_out, c_in, pool, with_argmax)
+        t_rows, n_win = _divisor_band(tall, l_cols, c_out, c_in, pool,
+                                      with_argmax)
     n_bands = tall // t_rows
 
     out_spec = pl.BlockSpec((t_rows, l_cols, group),
@@ -265,14 +300,14 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
     out = pl.pallas_call(
         partial(_kernel, t_rows=t_rows, l_cols=l_cols, l_al=l_al, c_in=c_in,
                 c_out=c_out, pool=pool, with_argmax=with_argmax,
-                with_stats=with_stats),
+                with_stats=with_stats, n_win=n_win),
         grid=(n_bands,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((t_rows + 2 * PAD, w_win, c_in), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_win, t_rows + 2 * PAD, w_win, c_in), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((n_win,)),
         ] + [
             pltpu.VMEM(((t_rows + 2 * PAD) * l_al, KSIZE * c_in),
                        jnp.bfloat16),
