@@ -243,6 +243,58 @@ def measure_train_step(params, nseqs: int = 512, crop: int = 350,
     return best
 
 
+def measure_train_step_guarded(budget_s: float | None = None):
+    """Driver-visible training-step benchmark (VERDICT round-3 item 1).
+
+    Runs :func:`measure_train_step` in a SUBPROCESS with a wall-clock
+    budget, so a pathological XLA compile (the crop-350 backprop program
+    compiled in ~14 min on the tunneled chip in round 3; with the
+    persistent cache healthy it is ~176 s cold / seconds warm) can never
+    sink the whole bench — the child is killed at the budget and the JSON
+    records the reason instead of a silent null. Must run BEFORE the
+    parent creates its TPU client (one process owns the chip).
+
+    Returns (seconds | None, note | None).
+    """
+    import subprocess
+
+    if os.environ.get("DMPFOLD2_BENCH_TRAIN") == "0":
+        return None, "disabled via DMPFOLD2_BENCH_TRAIN=0"
+    if budget_s is None:
+        budget_s = float(os.environ.get("DMPFOLD2_BENCH_TRAIN_BUDGET_S", 900))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-step"],
+            capture_output=True, text=True, timeout=budget_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, (f"timed out after {budget_s:.0f}s "
+                      "(compile exceeded budget; persistent cache cold?)")
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+        return None, f"subprocess failed rc={proc.returncode}: {tail}"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "train_step_bf16_crop350_s" in doc:
+            return doc["train_step_bf16_crop350_s"], None
+    return None, f"no result line in subprocess output: {proc.stdout[-200:]!r}"
+
+
+def _train_step_child():
+    """--train-step mode: measure one training step and print one JSON line."""
+    import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    params = get_bench_params()
+    s = measure_train_step(params)
+    print(json.dumps({"train_step_bf16_crop350_s": s}))
+
+
 def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 48) -> float:
     """Throughput on a Pfam-like batch (same-bucket targets, default config)."""
     from dmpfold2_tpu.parallel.stream import BatchFolder, Target
@@ -267,6 +319,14 @@ def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 48) -> 
 
 
 def main():
+    # train-step benchmark runs FIRST, in a budgeted subprocess, before this
+    # process creates its own TPU client (one process owns the chip)
+    train_s, train_note = measure_train_step_guarded()
+    if train_note:
+        log(f"train-step benchmark skipped: {train_note}")
+    else:
+        log(f"train step (bf16, 512x350, micro-batch 1): {train_s:.2f}s")
+
     import jax
 
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -283,16 +343,6 @@ def main():
     ours = measure_ours(params)
     tps = measure_targets_per_s(params)
     long_s = measure_long_target(params)
-    # opt-in: the crop-350 backprop program compiles in ~14 min on the
-    # tunneled chip and the persistent cache does not rescue it (the large
-    # donated-buffer executable fails to serialize), so the default bench
-    # stays fast; measured 2026-08-19: first call 862 s, then 1.68 s/step.
-    train_s = None
-    if os.environ.get("DMPFOLD2_BENCH_TRAIN") == "1":
-        try:
-            train_s = measure_train_step(params)
-        except Exception as exc:  # never let the training probe sink the bench
-            log(f"train-step benchmark failed (skipping): {exc!r:.200}")
     ref = measure_reference_cpu()
 
     # MFU accounting (analytic dense FLOPs / wall-clock / v5e bf16 peak).
@@ -319,6 +369,7 @@ def main():
             "targets_per_s_default": round(tps, 3),
             "train_step_bf16_crop350_s": (round(train_s, 3)
                                           if train_s is not None else None),
+            "train_step_note": train_note,
             "reference_cpu_default_s": round(ref, 2),
             "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
             "mfu_default_bf16": round(mfu(flops_default, ours["default_bf16"]), 4),
@@ -331,4 +382,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-step" in sys.argv:
+        _train_step_child()
+    else:
+        main()
