@@ -397,7 +397,15 @@ def main(argv=None):
                     help="comma-separated (nseqs x nres) shapes to precompile "
                          "before accepting traffic — set to the deployment's "
                          "expected bucket mix")
+    ap.add_argument("--platform", default=None,
+                    help="force the JAX platform (e.g. 'cpu'); needed where "
+                         "a sitecustomize pins JAX_PLATFORMS before env "
+                         "vars can take effect")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     warmup_shapes = tuple(
         tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",") if s
     )

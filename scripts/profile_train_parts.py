@@ -43,8 +43,31 @@ def timed(label, fn, *args, static=()):
         t0 = time.perf_counter()
         float(f(*args))
         times.append(time.perf_counter() - t0)
-    log(f"  {label}: {min(times) * 1000:.1f} ms")
-    return min(times)
+    dev = max(min(times) - _RPC_FLOOR[0], 0.0)
+    log(f"  {label}: {dev * 1000:.1f} ms device ({min(times) * 1000:.1f} ms wall)")
+    return dev
+
+
+_RPC_FLOOR = [0.0]
+
+
+def measure_rpc_floor():
+    """Fixed per-dispatch tunnel cost (~28-33 ms measured): subtracted from
+    every timing, else sub-floor components read as costing a dispatch each
+    (in the real step they run fused inside one program)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    float(f(one))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(one))
+        times.append(time.perf_counter() - t0)
+    _RPC_FLOOR[0] = min(times)
+    log(f"per-dispatch RPC floor: {_RPC_FLOOR[0] * 1000:.1f} ms (subtracted)")
 
 
 def main():
@@ -56,6 +79,7 @@ def main():
                       os.path.join(repo, ".cache", "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
+    measure_rpc_floor()
 
     from bench import get_bench_params
     from dmpfold2_tpu.engine.buckets import bucket_shape

@@ -246,20 +246,29 @@ def test_sigterm_graceful_shutdown(tmp_path):
     wpath = str(tmp_path / "tiny.npz")
     save_params(wpath, params)
     env = dict(os.environ, JAX_PLATFORMS="cpu", DMPFOLD2_TPU_NO_CACHE="1")
+    # --platform cpu: the container's sitecustomize re-pins
+    # JAX_PLATFORMS=axon inside the child, and a TPU-attached child would
+    # hang here whenever another process holds the chip
     proc = subprocess.Popen(
         [sys.executable, "-m", "dmpfold2_tpu.serve", "--host", "127.0.0.1",
          "--port", "0", "--weights", wpath, "--precision", "fp32",
-         "--warmup", "8x16"],
+         "--warmup", "8x16", "--platform", "cpu"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
     )
     try:
         # wait for warmup + listening (port 0: we never need the real port —
-        # SIGTERM during/after warmup must both drain cleanly)
+        # SIGTERM during/after warmup must both drain cleanly). select()
+        # before each readline: a silent child must trip the deadline, not
+        # block readline forever.
+        import select
+
         deadline = time.time() + 300
         line = ""
         while time.time() < deadline:
+            if not select.select([proc.stdout], [], [], 5.0)[0]:
+                continue
             line = proc.stdout.readline()
-            if "serving on" in line:
+            if "serving on" in line or not line:
                 break
         assert "serving on" in line, f"server never came up: {line!r}"
         proc.send_signal(signal.SIGTERM)
