@@ -108,7 +108,13 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
       nloops, refine_steps: recycling iterations / refinement steps (traced).
       rngs: optional dict of PRNG keys enabling train-time dropout
             ({"hgru", "init", "recycle"}).
-      remat: checkpoint the trunk blocks (training memory saver).
+      remat: checkpoint the trunk blocks (training memory saver). The value
+            "recycle" additionally checkpoints EACH recycle iteration (and
+            the initial pass), so reverse-mode saves only the tiny recycle
+            carry per iteration instead of every pass's trunk residuals —
+            required for micro-batch >= 4 at crop 350, where (nloops+1)
+            passes of block carries alone exceed HBM (train/step.py
+            _resolve_remat picks; root-caused in scripts/bisect_batch4.py).
       adaptive_recycle: net-new opt-in (`-n auto`): treat the traced
             ``nloops`` as a cap and stop once the best mean confidence
             hasn't improved for ``adaptive_patience`` consecutive recycles.
@@ -118,6 +124,9 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
       coords (l_pad, 5, 3) and confidence (l_pad,) — valid through nres.
     """
     n_pad, l_pad = alnmat.shape
+    remat_recycle = remat == "recycle"
+    if remat_recycle:
+        remat = True  # trunk-level mode under the per-iteration checkpoint
     row_mask = jnp.arange(l_pad) < nres
     pair_mask = row_mask[:, None] & row_mask[None, :]
 
@@ -156,6 +165,9 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
                           rgru_impl=rgru_impl, mds_impl=mds_impl)
         return ca, heads.conf
 
+    if remat_recycle:
+        run_iteration = jax.checkpoint(run_iteration)
+
     # --- initial pass: dmap channel from x2 (template distances or -1 fill)
     rng0 = rngs.get("init") if rngs else None
     ca_coords, conf = run_iteration(x2[:, :, -1], rng0)
@@ -191,6 +203,10 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         if nloops > 0:
             def scan_body(c, i):
                 return recycle_body(i, c), None
+            if remat_recycle:
+                # save only the recycle carry per iteration; the trunk pass
+                # is replayed (with its own inner remat) in the backward
+                scan_body = jax.checkpoint(scan_body)
             carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(nloops))
     elif adaptive_recycle:
         # net-new opt-in mode (`-n auto`): recycle until the best mean
@@ -246,6 +262,9 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     Pallas conv (kernels/conv_block.py has a custom VJP but no vmap rule).
     """
     batch, n_rows, l_pad = alnmat.shape
+    remat_recycle = remat == "recycle"
+    if remat_recycle:
+        remat = True  # trunk-level mode under the per-iteration checkpoint
     row_mask = jnp.arange(l_pad)[None, :] < nres[:, None]           # (B, L)
     pair_mask = row_mask[:, :, None] & row_mask[:, None, :]          # (B, L, L)
     nres_f = jnp.asarray(nres, jnp.float32)
@@ -298,6 +317,9 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         lambda c, s, nr: refine_coords(c, s, nr, impl=refine_impl),
         in_axes=(0, None, 0))
 
+    if remat_recycle:
+        run_iteration = jax.checkpoint(run_iteration)
+
     rng0 = rngs.get("init") if rngs else None
     ca_coords, conf = run_iteration(x2[..., -1], rng0)
     ca_coords = refine_b(ca_coords, refine_steps, nres)
@@ -329,6 +351,10 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
         if nloops > 0:
             def scan_body(c, i):
                 return recycle_body(i, c), None
+            if remat_recycle:
+                # save only the recycle carry per iteration; the trunk pass
+                # is replayed (with its own inner remat) in the backward
+                scan_body = jax.checkpoint(scan_body)
             carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(nloops))
     else:
         carry = jax.lax.fori_loop(0, nloops, recycle_body, carry)

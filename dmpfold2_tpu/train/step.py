@@ -51,7 +51,8 @@ class TrainBatch(NamedTuple):
 
 
 def _prep_sample(alnmat, targets, nseqs, nres, rng, *,
-                 teacher_prob: float = 0.5, noise_targets: bool = True):
+                 teacher_prob: float = 0.5, noise_targets: bool = True,
+                 dca_method: str = "cholesky"):
     """Per-sample input prep: DCA features + teacher-forced dmap seed.
 
     Returns (x2 (L, L, 443), targets (L, 5, 3), rng_drop). Shared by the
@@ -65,7 +66,8 @@ def _prep_sample(alnmat, targets, nseqs, nres, rng, *,
     # covariation features with gradients disabled (reference train.py:175)
     oh = msa_one_hot(alnmat, nseqs, nres)
     w = reweight(oh, nres)
-    dca = jax.lax.stop_gradient(dca_or_zero(oh, w, nseqs, nres))
+    dca = jax.lax.stop_gradient(
+        dca_or_zero(oh, w, nseqs, nres, method=dca_method))
 
     rng_tf, rng_noise, rng_drop = jax.random.split(rng, 3)
     # 50%: seed the dmap channel with a noised ground-truth CA distance map
@@ -98,6 +100,15 @@ def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
     of full-body checkpointing (models/trunk.py:resnet_block). Estimate
     the residual footprint across all (nloops+1) unrolled trunk passes and
     fall back to full remat (True) when it would crowd the 16 GB HBM.
+
+    ``"recycle"`` additionally checkpoints each recycle iteration: even
+    with full-body block remat, reverse-mode banks every pass's scan
+    carries (num_blocks x (B, L², cwidth) bf16) plus each pass's
+    955-channel input — at micro-batch 4, crop 350, nloops 3 that is
+    ~12 GB and the step dies in HBM buffer assignment (the round-3
+    "HTTP 500"; root-caused via scripts/bisect_batch4.py). Checkpointing
+    the recycle scan body caps the peak at ~2 passes' worth for one extra
+    trunk forward per recycle in the backward.
     """
     # trunk geometry from the params pytree (NOT hard-coded defaults: tests
     # and experiments train smaller models, and a wrong estimate would pick
@@ -105,9 +116,14 @@ def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
     # maxout weight is (num_blocks, k, k, cwidth, cwidth*pool).
     blocks_w = params["trunk"]["blocks"]["maxout"]["w"]
     num_blocks, cwidth = blocks_w.shape[0], blocks_w.shape[3]
+    area = batch_size * l_pad * l_pad
+    # full-body remat still banks, per trunk pass: the block scan carries
+    # + the 955-channel pass input (bf16)
+    per_pass = area * (num_blocks * cwidth + 955) * 2
+    if (nloops + 1) * per_pass > 9e9:
+        return "recycle"
     per_elem = 6 if fused else 12  # bytes per (L², cwidth) element saved
-    instances = (nloops + 1) * num_blocks
-    est = instances * batch_size * l_pad * l_pad * cwidth * per_elem
+    est = (nloops + 1) * num_blocks * area * cwidth * per_elem
     return "save_conv" if est <= 8e9 else True
 
 
@@ -115,11 +131,12 @@ def sample_loss(params, alnmat, targets, nseqs, nres, rng, *,
                 nloops: int, refine_steps: int = REFINE_STEPS,
                 teacher_prob: float = 0.5, noise_targets: bool = True,
                 dropout: bool = True, precision: str = "fp32",
-                remat=True):
+                remat=True, dca_method: str = "cholesky"):
     """Loss for one (padded) sample, differentiable through recycling+refinement."""
     x2, targets, rng_drop = _prep_sample(
         alnmat, targets, nseqs, nres, rng,
-        teacher_prob=teacher_prob, noise_targets=noise_targets)
+        teacher_prob=teacher_prob, noise_targets=noise_targets,
+        dca_method=dca_method)
     rngs = None
     if dropout:
         rngs = {
@@ -139,7 +156,8 @@ def batch_loss_native(params, batch: "TrainBatch", rngs, *,
                       nloops: int, refine_steps: int = REFINE_STEPS,
                       teacher_prob: float = 0.5, noise_targets: bool = True,
                       dropout: bool = True, precision: str = "fp32",
-                      fused_conv: bool = False, remat=True):
+                      fused_conv: bool = False, remat=True,
+                      dca_method: str = "cholesky"):
     """Natively-batched micro-batch loss: one trunk conv per block for the
     whole batch via :func:`gruresnet.forward_batched` — required to run the
     fused Pallas conv (custom VJP, no vmap rule) in training. Per-sample
@@ -150,11 +168,19 @@ def batch_loss_native(params, batch: "TrainBatch", rngs, *,
 
     Returns (mean loss, metrics) like the vmapped path's reduction.
     """
-    x2, targets, rng_drop = jax.vmap(
-        lambda a, t, ns, nr, r: _prep_sample(
-            a, t, ns, nr, r, teacher_prob=teacher_prob,
-            noise_targets=noise_targets)
-    )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)
+    # per-sample prep runs SEQUENTIALLY (lax.map), not vmapped: the (21L)²
+    # DCA inverse at crop 350 is 7392² — batching it materializes
+    # f32[B, 5248, 7392]-class triangular-solve temporaries (~600 MB each)
+    # and the micro-batch-4 step dies in HBM buffer assignment (the round-3
+    # "HTTP 500" compile failure, root-caused round 4 via
+    # scripts/bisect_batch4.py). Sequential prep caps the peak at one
+    # sample's worth; DCA is a few percent of the step, so the
+    # serialization costs ~nothing.
+    x2, targets, rng_drop = jax.lax.map(
+        lambda args: _prep_sample(
+            *args, teacher_prob=teacher_prob,
+            noise_targets=noise_targets, dca_method=dca_method),
+        (batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs))
     drngs = None
     if dropout:
         base = rng_drop[0]
@@ -202,17 +228,25 @@ def train_step(params, opt_state, batch: TrainBatch, rng, *, optimizer,
     rngs = jax.random.split(rng, batch_size)
     remat = _resolve_remat(params, batch_size, batch.alnmat.shape[2], nloops,
                            bool(fused_conv))
+    # backend-resolved DCA inverse, like inference (engine/fold.py): the
+    # recursive Schur inverse keeps the (21L)^2 solve on the MXU with
+    # bounded temporaries (the stock Cholesky path's triangular solves are
+    # also the micro-batch>=4 OOM, see batch_loss_native)
+    from ..engine.fold import resolve_dca_method
+
+    dca_method = resolve_dca_method("auto", precision)
 
     def batched_loss(p):
         if native_batch:
             return batch_loss_native(
                 p, batch, rngs, nloops=nloops, refine_steps=refine_steps,
                 dropout=train, precision=precision, fused_conv=fused_conv,
-                remat=remat)
+                remat=remat, dca_method=dca_method)
         losses, metrics = jax.vmap(
             lambda a, t, ns, nr, r: sample_loss(
                 p, a, t, ns, nr, r, nloops=nloops, refine_steps=refine_steps,
                 dropout=train, precision=precision, remat=remat,
+                dca_method=dca_method,
             ),
             spmd_axis_name="data",
         )(batch.alnmat, batch.targets, batch.nseqs, batch.nres, rngs)

@@ -291,3 +291,54 @@ def test_resolve_remat_policy():
     assert small["trunk"]["blocks"]["maxout"]["w"].shape[0] == 4
     assert _resolve_remat(small, 2, 352, 3, fused=True) == "save_conv"
     assert _resolve_remat(small, 1, 352, 3, fused=False) == "save_conv"
+
+    # micro-batch >= 4 at crop 350 with recycling: even full-body remat
+    # banks ~(nloops+1) passes of block carries (~12 GB) — the step must
+    # pick recycle-level checkpointing (round-3 "HTTP 500" root cause)
+    assert _resolve_remat(full, 4, 352, 3, fused=True) == "recycle"
+    # no recycling: a single pass's residuals fit without the extra level
+    assert _resolve_remat(full, 4, 352, 0, fused=True) in (True, "save_conv")
+    assert _resolve_remat(full, 1, 352, 3, fused=True) == "save_conv"
+
+
+def test_train_step_recycle_remat_runs():
+    """The 'recycle' remat mode (per-iteration checkpoint) must produce a
+    finite loss and update params — exercised on a tiny model by forcing
+    the mode (the flagship triggers it at micro-batch >= 4, crop 350)."""
+    import jax.numpy as jnp
+
+    from dmpfold2_tpu.train import step as step_mod
+    from dmpfold2_tpu.train.step import TrainBatch, make_optimizer, train_step
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=16, cwidth=8,
+                                   num_blocks=2)
+    rng = np.random.default_rng(3)
+    bsz, n_rows, l_pad = 2, 5, 16
+    t = np.arange(l_pad, dtype=np.float32)
+    helix = np.stack([2.3 * np.cos(0.6 * t), 2.3 * np.sin(0.6 * t), 1.5 * t], -1)
+    gt = helix[None, :, None, :] + rng.normal(size=(bsz, l_pad, 5, 3)) * 0.3
+    batch = TrainBatch(
+        jnp.asarray(rng.integers(0, 21, (bsz, n_rows, l_pad)), jnp.int32),
+        jnp.asarray(gt, jnp.float32),
+        jnp.full((bsz,), n_rows, jnp.int32),
+        jnp.full((bsz,), 14, jnp.int32),
+    )
+    optimizer = make_optimizer(1e-4)
+    opt_state = optimizer.init(params)
+    orig = step_mod._resolve_remat
+    step_mod._resolve_remat = lambda *a, **k: "recycle"
+    try:
+        for native in (True, False):
+            new_params, _, metrics = train_step(
+                params, opt_state, batch, jax.random.PRNGKey(1),
+                optimizer=optimizer, nloops=2, refine_steps=2,
+                native_batch=native)
+            assert np.isfinite(float(metrics["loss"]))
+            delta = max(
+                float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(jax.tree.leaves(params),
+                                jax.tree.leaves(new_params))
+                if np.asarray(a).size)
+            assert delta > 0.0
+    finally:
+        step_mod._resolve_remat = orig
