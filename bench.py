@@ -146,6 +146,29 @@ def measure_ours(params) -> dict:
     return results
 
 
+def measure_rpc_floor() -> float:
+    """Fixed per-dispatch cost of the remote tunnel (~28-33 ms measured).
+
+    Single-dispatch wall-clock latencies include it; device time ~= wall -
+    floor. Reported alongside wall-clock MFU so single-target numbers can
+    be read as on-chip rates (batched throughput amortizes the floor and
+    needs no correction)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    float(f(one))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(one))
+        times.append(time.perf_counter() - t0)
+    floor = min(times)
+    log(f"per-dispatch RPC floor: {floor * 1000:.1f} ms")
+    return floor
+
+
 def measure_trunk_ms_per_residue(params, precision: str = "fp32") -> float:
     """Trunk forward ms/residue at nres=256 (BASELINE.json metric)."""
     import jax
@@ -338,6 +361,7 @@ def main():
     from dmpfold2_tpu.utils.flops import V5E_BF16_PEAK, fold_flops, mfu
 
     params = get_bench_params()
+    rpc_floor = measure_rpc_floor()
     trunk_ms = measure_trunk_ms_per_residue(params)
     trunk_ms_bf16 = measure_trunk_ms_per_residue(params, precision="bf16")
     ours = measure_ours(params)
@@ -373,6 +397,12 @@ def main():
             "reference_cpu_default_s": round(ref, 2),
             "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
             "mfu_default_bf16": round(mfu(flops_default, ours["default_bf16"]), 4),
+            # single-dispatch latencies include the fixed tunnel RPC floor;
+            # the _device variant subtracts it (on-chip rate estimate)
+            "rpc_floor_ms": round(rpc_floor * 1000, 2),
+            "mfu_default_bf16_device": round(
+                mfu(flops_default,
+                    max(ours["default_bf16"] - rpc_floor, 1e-9)), 4),
             "mfu_batched_bf16": round(mfu(flops_default * tps, 1.0), 4),
             "mfu_long_target_bf16": round(mfu(flops_long, long_s), 4),
             "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,

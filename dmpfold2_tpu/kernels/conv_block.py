@@ -428,21 +428,33 @@ def _diff_bwd(pool, interpret, res, g):
     db = jnp.sum(g4, axis=(0, 1, 2))
     g4 = g4.astype(jnp.bfloat16)
 
+    # dx: correlate the scattered cotangent with flipped, I/O-swapped
+    # weights. (Routing this through the fused kernel with pool=1 was
+    # measured time-neutral at L=352 — the XLA 5x5 conv is kept for
+    # simplicity; the kernel's pool=1 mode remains tested for reuse.)
+    w_hat = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2)).astype(jnp.bfloat16)
     dims = ("NHWC", "HWIO", "NHWC")
     pad = ((PAD, PAD), (PAD, PAD))
-    # dx: correlate the scattered cotangent with flipped, I/O-swapped weights
-    w_hat = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2)).astype(jnp.bfloat16)
     dx = jax.lax.conv_general_dilated(
         g4, w_hat, (1, 1), pad, dimension_numbers=dims,
         preferred_element_type=jnp.float32)
-    # dw[ky,kx,ci,co] = sum_{b,y,x} x_pad[b,y+ky,x+kx,ci] * g4[b,y,x,co]:
-    # swap batch<->feature so the 5x5 kernel support becomes the conv output
-    xt = jnp.transpose(x.astype(jnp.bfloat16), (3, 1, 2, 0))  # (Cin, L, L, B)
-    gt = jnp.transpose(g4, (1, 2, 0, 3))                      # (L, L, B, Cout)
-    dw = jax.lax.conv_general_dilated(
-        xt, gt, (1, 1), pad, dimension_numbers=dims,
-        preferred_element_type=jnp.float32)                   # (Cin, 5, 5, Cout)
-    dw = jnp.transpose(dw, (1, 2, 0, 3))
+    # dw[ky,kx,ci,co] = sum_{b,y,x} x_pad[b,y+ky,x+kx,ci] * g4[b,y,x,co] —
+    # expressed as 25 shifted (Cin, B*L*L) @ (B*L*L, Cout) MXU GEMMs. The
+    # classic batch<->feature-swap conv (L-by-L kernel, 5x5 output) hits a
+    # pathological TPU path: measured 13 ms/block at L=352 vs ~2 ms for the
+    # GEMMs (profile round 4, scripts/profile_block.py) — the single
+    # largest line item of the training step.
+    bsz, l1, l2, c_in = x.shape
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    g2 = g4.reshape(bsz * l1 * l2, c_out)
+    taps = []
+    for ky in range(KSIZE):
+        for kx in range(KSIZE):
+            xs = xp[:, ky : ky + l1, kx : kx + l2, :].reshape(
+                bsz * l1 * l2, c_in)
+            taps.append(jnp.dot(xs.T, g2, preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(KSIZE, KSIZE, c_in, c_out)
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
 
 

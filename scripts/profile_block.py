@@ -37,8 +37,28 @@ def timed(label, fn, *args, static=()):
         t0 = time.perf_counter()
         float(f(*args))
         times.append(time.perf_counter() - t0)
-    log(f"  {label}: {min(times) * 1000:.1f} ms")
-    return min(times)
+    dev = max(min(times) - _RPC_FLOOR[0], 0.0)
+    log(f"  {label}: {dev * 1000:.1f} ms device ({min(times) * 1000:.1f} ms wall)")
+    return dev
+
+
+_RPC_FLOOR = [0.0]
+
+
+def measure_rpc_floor():
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    float(f(one))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(one))
+        times.append(time.perf_counter() - t0)
+    _RPC_FLOOR[0] = min(times)
+    log(f"per-dispatch RPC floor: {_RPC_FLOOR[0] * 1000:.1f} ms (subtracted)")
 
 
 def main():
@@ -50,6 +70,7 @@ def main():
                       os.path.join(repo, ".cache", "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
+    measure_rpc_floor()
 
     from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout_diff
     from dmpfold2_tpu.models.trunk import block_params, resnet_block
@@ -73,7 +94,8 @@ def main():
     t_f = timed("fwd", conv_loss, x, w, b)
     t_g = timed("grad x", jax.grad(conv_loss, argnums=0), x, w, b)
     t_gw = timed("grad (x,w,b)", jax.grad(conv_loss, argnums=(0, 1, 2)), x, w, b)
-    log(f"  -> grad-x/fwd {t_g / t_f:.2f}, grad-all/fwd {t_gw / t_f:.2f}")
+    if t_f > 0:
+        log(f"  -> grad-x/fwd {t_g / t_f:.2f}, grad-all/fwd {t_gw / t_f:.2f}")
 
     # --- instance norm alone
     norm_loss = lambda xx: jnp.sum(

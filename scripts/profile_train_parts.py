@@ -115,7 +115,8 @@ def main():
                     static=(2,))
         t_g = timed(f"grad {tag} (input+params)", trunk_grad,
                     params["trunk"], x, fused, static=(2,))
-        log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
+        if t_f > 0:
+            log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
     # --- MDS (eigh) fwd vs grad
     g = rng.normal(size=(l_pad, l_pad)).astype(np.float32)
@@ -137,7 +138,8 @@ def main():
     log("=== coord biGRU (3-layer, L scan) ===")
     t_f = timed("fwd", bigru_loss, params["coord_gru"], emb, nres)
     t_g = timed("grad (input+params)", bigru_grad, params["coord_gru"], emb, nres)
-    log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
+    if t_f > 0:
+        log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
     # --- residue biGRU (hgru, 2-layer, input 512)
     hin = jnp.asarray(rng.normal(size=(l_pad, 1, 512)), jnp.float32)
@@ -145,7 +147,8 @@ def main():
     log("=== hgru (2-layer biGRU) ===")
     t_f = timed("fwd", bigru_loss, params["hgru"], hin, nres)
     t_g = timed("grad (input+params)", bigru_grad, params["hgru"], hin, nres)
-    log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
+    if t_f > 0:
+        log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
     # --- vertical GRU (remat-chunked) fwd vs grad
     aln = jnp.asarray(rng.integers(0, 21, (n_pad, l_pad)), jnp.int32)
@@ -161,7 +164,8 @@ def main():
     log(f"=== vertical GRU ({n_pad} rows, remat_chunk=128) ===")
     t_f = timed("fwd", vgru_loss, params["vgru"], oh, nseqs_s)
     t_g = timed("grad (input+params)", vgru_grad, params["vgru"], oh, nseqs_s)
-    log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
+    if t_f > 0:
+        log(f"  -> bwd/fwd ratio {t_g / t_f:.2f}")
 
 
 if __name__ == "__main__":

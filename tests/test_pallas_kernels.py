@@ -160,6 +160,27 @@ def test_fused_conv_maxout_matches_xla():
     )
 
 
+def test_fused_conv_pool1_is_plain_conv():
+    """pool=1 degenerates the maxout to the identity — the kernel is then a
+    plain 5x5 conv (the dx backward reuses it this way, round 4)."""
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
+
+    rng = np.random.default_rng(5)
+    B, L, C, CO = 1, 12, 16, 8  # wide-in, narrow-out like the dx conv
+    x = jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.1, jnp.float32)
+    b = jnp.zeros((CO,), jnp.float32)
+    out = conv5x5_maxout(x, w, b, pool=1, interpret=True)
+
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1),
+        ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+
 def test_fused_conv_diff_grads_match_xla():
     """Hand-written VJP of the fused kernel vs jax.grad of the XLA reference
     (conv+bias+maxout in the same bf16/fp32-accumulate policy)."""
