@@ -75,7 +75,7 @@ class FoldService:
                  config: FoldConfig | None = None,
                  batch_window_s: float = 0.05, max_batch: int = 8,
                  max_body_bytes: int = 64 * 2 ** 20,
-                 read_timeout_s: float = 30.0):
+                 read_timeout_s: float = 30.0, mesh=None):
         self.max_body_bytes = max_body_bytes
         self.read_timeout_s = read_timeout_s
         cfg = config or FoldConfig(precision=precision)
@@ -86,9 +86,14 @@ class FoldService:
         # single path, or identical inputs would return (slightly) different
         # results depending on server load
         self.batcher = BatchFolder(
-            params, precision=cfg.precision, dca_method=cfg.dca_method,
+            params, mesh=mesh, precision=cfg.precision,
+            dca_method=cfg.dca_method,
             vgru_impl=cfg.vgru_impl, counters=self.counters,
         )
+        # under a mesh, even a lone request should ride the data-parallel
+        # batched path (the single-target Folder would leave every chip but
+        # one idle)
+        self.min_batched = 1 if mesh is not None else 2
         self.batch_window_s = batch_window_s
         self.max_batch = max_batch
         self.batch_stats = {"dispatches": 0, "requests": 0, "max_coalesced": 0}
@@ -214,7 +219,7 @@ class FoldService:
         self.batch_stats["max_coalesced"] = max(
             self.batch_stats["max_coalesced"], len(reqs))
 
-        if len(reqs) == 1:           # low load: single-target path
+        if len(reqs) < self.min_batched:  # low load: single-target path
             r = reqs[0]
             try:
                 r.result = self.folder.fold(
@@ -368,11 +373,11 @@ def serve(params, host: str = "0.0.0.0", port: int = 8080,
           precision: str = "bf16", config: FoldConfig | None = None,
           batch_window_s: float = 0.05, max_batch: int = 8,
           max_body_bytes: int = 64 * 2 ** 20,
-          read_timeout_s: float = 30.0) -> ThreadingHTTPServer:
+          read_timeout_s: float = 30.0, mesh=None) -> ThreadingHTTPServer:
     service = FoldService(params, precision, config,
                           batch_window_s=batch_window_s, max_batch=max_batch,
                           max_body_bytes=max_body_bytes,
-                          read_timeout_s=read_timeout_s)
+                          read_timeout_s=read_timeout_s, mesh=mesh)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.fold_service = service  # exposed for warmup / introspection
     return server
@@ -401,11 +406,24 @@ def main(argv=None):
                     help="force the JAX platform (e.g. 'cpu'); needed where "
                          "a sitecustomize pins JAX_PLATFORMS before env "
                          "vars can take effect")
+    ap.add_argument("--mesh", default=None, metavar="DATA[xSEQ]",
+                    help="serve over a device mesh, e.g. '8' or '4x2': "
+                         "coalesced request batches shard data-parallel "
+                         "over DATA chips ('auto' = all devices)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    mesh = None
+    if args.mesh is not None:
+        from .parallel.mesh import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            n_data, _, n_seq = args.mesh.partition("x")
+            mesh = make_mesh(int(n_data), int(n_seq or 1))
     warmup_shapes = tuple(
         tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",") if s
     )
@@ -417,7 +435,7 @@ def main(argv=None):
                    batch_window_s=args.batch_window_ms / 1000.0,
                    max_batch=args.max_batch,
                    max_body_bytes=int(args.max_body_mb * 2 ** 20),
-                   read_timeout_s=args.read_timeout_s)
+                   read_timeout_s=args.read_timeout_s, mesh=mesh)
     # graceful drain on SIGTERM/SIGINT (load balancers send SIGTERM on
     # rollouts): stop accepting work, fail queued requests fast, let the
     # in-flight device batch finish, then return from serve_forever

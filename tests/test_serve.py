@@ -230,6 +230,56 @@ def test_concurrent_requests_are_batched():
     assert service.batch_stats["dispatches"] < 4
 
 
+def test_mesh_sharded_service():
+    """Serving over a device mesh: coalesced request batches shard
+    data-parallel across chips (the `--mesh` deployment mode); a lone
+    request also rides the batched path so no chip idles."""
+    from dmpfold2_tpu.parallel.mesh import make_mesh
+
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=32, cwidth=16,
+                                   num_blocks=2)
+    mesh = make_mesh(n_data=4, n_seq=2)  # 8 in-process CPU devices
+    server = serve(params, host="127.0.0.1", port=0, precision="fp32",
+                   batch_window_s=1.0, max_batch=8, mesh=mesh)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{port}"
+    aln_text = ">q\nIKLTVGGVDITFEPN\nITLTIAGTDISFEPT\n"
+
+    bodies, errors = [], []
+
+    def client():
+        req = urllib.request.Request(
+            f"{url}/fold?iterations=0&minsteps=1",
+            data=aln_text.encode(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                bodies.append(resp.read().decode())
+        except Exception as exc:  # pragma: no cover - surfaced in assert
+            errors.append(exc)
+
+    # burst of 4 -> one data-parallel dispatch over the mesh
+    clients = [threading.Thread(target=client) for _ in range(4)]
+    for t in clients:
+        t.start()
+    for t in clients:
+        t.join(timeout=300)
+    # a lone request must also succeed (mesh path, padded batch)
+    client()
+    service = server.fold_service
+    server.shutdown()
+    service.close()
+
+    assert not errors, errors
+    assert len(bodies) == 5
+    assert all(b.startswith("REMARK  CONF:") for b in bodies)
+    assert service.batch_stats["requests"] == 5
+    assert service.batch_stats["max_coalesced"] >= 2
+    # every request (even the lone one) rode the batched mesh path
+    assert service.min_batched == 1
+
+
 def test_sigterm_graceful_shutdown(tmp_path):
     """`python -m dmpfold2_tpu.serve` must drain and exit 0 on SIGTERM
     (load balancers send SIGTERM on rollouts), not die mid-request."""
