@@ -153,18 +153,9 @@ def measure_rpc_floor() -> float:
     floor. Reported alongside wall-clock MFU so single-target numbers can
     be read as on-chip rates (batched throughput amortizes the floor and
     needs no correction)."""
-    import jax
-    import jax.numpy as jnp
+    from dmpfold2_tpu.utils.timing import measure_rpc_floor as _floor
 
-    one = jnp.ones((8, 128), jnp.float32)
-    f = jax.jit(lambda x: jnp.sum(x * 2.0))
-    float(f(one))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(one))
-        times.append(time.perf_counter() - t0)
-    floor = min(times)
+    floor = _floor()
     log(f"per-dispatch RPC floor: {floor * 1000:.1f} ms")
     return floor
 

@@ -111,12 +111,20 @@ def _run_batch(args, parser) -> None:
 
     enable_persistent_cache()
     cfg = FoldConfig.from_cli_args(args)
-    targets = [
-        Target(alnmat=parse_aln(p),
-               template_ca=(pdb_io.parse_template_ca(t)
-                            if t is not None else None))
-        for p, t in zip(inputs, templates)
-    ]
+    targets = []
+    for p, t in zip(inputs, templates):
+        alnmat = parse_aln(p)
+        template_ca = pdb_io.parse_template_ca(t) if t is not None else None
+        if (template_ca is not None
+                and template_ca.shape[0] != alnmat.shape[1]):
+            # validate before dispatch: a wrong-length template raising
+            # inside the batch engine would demote every batchmate to the
+            # serial single-target fallback instead of reporting the
+            # user's input error
+            parser.error(
+                f"template {t} has {template_ca.shape[0]} CA atoms but "
+                f"{p} has {alnmat.shape[1]} residues — lengths must match")
+        targets.append(Target(alnmat=alnmat, template_ca=template_ca))
     params = load_weights(cfg.weights_file)
     folder = BatchFolder(params, batch_size=args.batch_size,
                          precision=cfg.precision, dca_method=cfg.dca_method,

@@ -114,7 +114,21 @@ class FoldService:
         primary bucket — otherwise the first concurrent burst stalls every
         queued request behind a cold XLA compile. One-time cost per cluster
         with the persistent compile cache.
+
+        Under a mesh (``min_batched == 1``) every request — including the
+        healthz probe — rides the batched path, so the batched program is
+        warmed for EVERY shape (healthz included) and the unreachable
+        single-target programs are skipped entirely.
         """
+        if self.min_batched == 1:
+            for nseqs, nres in tuple(shapes) + (HEALTH_SHAPE,):
+                aln = np.zeros((nseqs, nres), np.uint8)
+                for bs in sorted({2, self.max_batch}):
+                    self.batcher.batch_size = bs
+                    self.batcher.fold_many([Target(alnmat=aln)] * 2,
+                                           iterations=1, minsteps=1)
+            self._ready.set()
+            return
         self.folder.warmup(shapes=tuple(shapes) + (HEALTH_SHAPE,))
         if shapes:
             # the alignment must land in the SAME (nseqs, nres) bucket real

@@ -116,10 +116,11 @@ def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
     # maxout weight is (num_blocks, k, k, cwidth, cwidth*pool).
     blocks_w = params["trunk"]["blocks"]["maxout"]["w"]
     num_blocks, cwidth = blocks_w.shape[0], blocks_w.shape[3]
+    in_channels = params["trunk"]["input"]["w"].shape[2]  # 955 on flagship
     area = batch_size * l_pad * l_pad
     # full-body remat still banks, per trunk pass: the block scan carries
-    # + the 955-channel pass input (bf16)
-    per_pass = area * (num_blocks * cwidth + 955) * 2
+    # + the full-channel pass input (bf16)
+    per_pass = area * (num_blocks * cwidth + in_channels) * 2
     if (nloops + 1) * per_pass > 9e9:
         return "recycle"
     per_elem = 6 if fused else 12  # bytes per (L², cwidth) element saved

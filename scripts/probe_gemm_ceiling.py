@@ -1,8 +1,9 @@
-"""Substantiate the fused-conv MXU ceiling claim with measurements.
+"""Substantiate the fused-conv MXU rate claims with measurements.
 
-PERFORMANCE.md states the fused conv kernel's band dots run at ~62% of bf16
-peak and that this is near the practical Mosaic/XLA ceiling for N=512-wide
-GEMMs at band shapes. This probe measures, on the attached TPU:
+(Historical context: round 3 claimed a "~62% of peak practical ceiling" for
+the kernel's band dots — an artifact of timing one kernel per dispatch over
+the RPC tunnel. The corrected rates in PERFORMANCE.md come from this
+probe.) Measures, on the attached TPU:
 
   1. raw XLA GEMMs at the kernel's band-dot shape (M = t_rows*l_al,
      K = KSIZE*c_in = 640, N = c_out = 512) and at square sizes up to 8k,
@@ -50,11 +51,9 @@ def timeit(f, *args, reps: int = 3) -> float:
 
 
 def rpc_floor() -> float:
-    import jax
-    import jax.numpy as jnp
+    from dmpfold2_tpu.utils.timing import measure_rpc_floor
 
-    one = jnp.ones((8, 128), jnp.float32)
-    return timeit(jax.jit(lambda x: jnp.sum(x * 2.0)), one, reps=5)
+    return measure_rpc_floor()
 
 
 def main():

@@ -46,18 +46,9 @@ _RPC_FLOOR = [0.0]
 
 
 def measure_rpc_floor():
-    import jax
-    import jax.numpy as jnp
+    from dmpfold2_tpu.utils.timing import measure_rpc_floor as _floor
 
-    one = jnp.ones((8, 128), jnp.float32)
-    f = jax.jit(lambda x: jnp.sum(x * 2.0))
-    float(f(one))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(one))
-        times.append(time.perf_counter() - t0)
-    _RPC_FLOOR[0] = min(times)
+    _RPC_FLOOR[0] = _floor()
     log(f"per-dispatch RPC floor: {_RPC_FLOOR[0] * 1000:.1f} ms (subtracted)")
 
 

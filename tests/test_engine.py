@@ -219,9 +219,60 @@ def test_cli_batch_mode_errors(tmp_path):
     with pytest.raises(SystemExit):  # duplicate stems would collide
         run_dmpfold(["-i", str(a), str(dup), "-o", str(tmp_path / "o"),
                      "-n", "0", "-m", "0"])
-    with pytest.raises(SystemExit):  # template is single-target only
+    with pytest.raises(SystemExit):  # ONE template can't cover two targets
         run_dmpfold(["-i", str(a), str(tmp_path / "y.aln"), "-t", "tpl.pdb",
                      "-o", str(tmp_path / "o"), "-n", "0", "-m", "0"])
+
+
+def test_cli_batch_per_target_templates(tmp_path):
+    """Batch mode takes one template per input positionally ('-' = none);
+    a wrong-length template errors up front instead of demoting the batch
+    to serial single-target folds."""
+    from dmpfold2_tpu.cli import run_dmpfold
+    from dmpfold2_tpu.models.gruresnet import init_params
+    from dmpfold2_tpu.utils.pdb import format_pdb
+
+    toy = init_params(jax.random.PRNGKey(0), width=32, cwidth=16, num_blocks=2)
+    wpath = str(tmp_path / "toy.npz")
+    save_params(wpath, toy)
+
+    lines = [l for l in open(EXAMPLE_ALN).read().splitlines() if l]
+    a = tmp_path / "ta.aln"
+    b = tmp_path / "tb.aln"
+    a.write_text("\n".join(lines[:10]) + "\n")
+    b.write_text("\n".join(lines[:6]) + "\n")
+    nres = len(lines[0])
+
+    rng = np.random.default_rng(0)
+    coords = rng.normal(size=(nres, 5, 3)).astype(np.float32) * 3
+    confs = np.full((nres,), 0.5, np.float32)
+    tmpl = tmp_path / "ta_tmpl.pdb"
+    tmpl.write_text("\n".join(format_pdb(coords, confs,
+                                         np.zeros((nres,), np.int64))) + "\n")
+
+    out1 = tmp_path / "out1"
+    run_dmpfold(["-i", str(a), str(b), "-t", str(tmpl), "-",
+                 "-o", str(out1), "-n", "0", "-m", "0", "-w", wpath,
+                 "--batch-size", "2"])
+    out2 = tmp_path / "out2"
+    run_dmpfold(["-i", str(a), str(b), "-o", str(out2),
+                 "-n", "0", "-m", "0", "-w", wpath, "--batch-size", "2"])
+    # the template seeds the dmap channel of target a only
+    assert (out1 / "ta.pdb").read_text() != (out2 / "ta.pdb").read_text()
+    assert (out1 / "tb.pdb").read_text() == (out2 / "tb.pdb").read_text()
+
+    with pytest.raises(SystemExit):  # template/input counts must match
+        run_dmpfold(["-i", str(a), str(b), "-t", str(tmpl),
+                     str(tmpl), str(tmpl), "-o", str(tmp_path / "o3"),
+                     "-n", "0", "-m", "0", "-w", wpath])
+
+    short = tmp_path / "short_tmpl.pdb"
+    short.write_text("\n".join(format_pdb(coords[:5], confs[:5],
+                                          np.zeros((5,), np.int64))) + "\n")
+    with pytest.raises(SystemExit):  # wrong-length template: upfront error
+        run_dmpfold(["-i", str(a), str(b), "-t", str(short), "-",
+                     "-o", str(tmp_path / "o4"), "-n", "0", "-m", "0",
+                     "-w", wpath])
 
 
 def test_adaptive_recycling(params):

@@ -275,8 +275,10 @@ def test_resolve_remat_policy():
     from dmpfold2_tpu.models import gruresnet
     from dmpfold2_tpu.train.step import _resolve_remat
 
-    full = {"trunk": {"blocks": {"maxout": {
-        "w": np.zeros((16, 5, 5, 128, 512))}}}}
+    full = {"trunk": {
+        "blocks": {"maxout": {"w": np.zeros((16, 5, 5, 128, 512))}},
+        "input": {"w": np.zeros((1, 1, 955, 384))},
+    }}
     # B=1 crop-350 fused qualifies; bigger batches fall back to full remat
     assert _resolve_remat(full, 1, 352, 3, fused=True) == "save_conv"
     assert _resolve_remat(full, 2, 352, 3, fused=True) is True
