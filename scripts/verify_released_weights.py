@@ -36,7 +36,6 @@ from __future__ import annotations
 import argparse
 import hashlib
 import os
-import shutil
 import sys
 
 import numpy as np
@@ -84,11 +83,10 @@ def resolve_weights(weights_dir: str | None):
                     print(f"note: no pinned sha256 for "
                           f"{os.path.basename(src)}; using mounted file "
                           "unverified", file=sys.stderr)
-            os.makedirs(modeldir, exist_ok=True)
-            for src, dst in zip(mounted, paths):
-                if not os.path.isfile(dst):
-                    shutil.copy(src, dst)
-            return paths
+            # use the mount in place: copying into the package tree would
+            # make later load_weights() calls silently treat these as the
+            # released checkpoint
+            return mounted
         print(f"weights dir {weights_dir} does not hold both checkpoint "
               "parts; falling back to download", file=sys.stderr)
     if not all(os.path.isfile(p) for p in paths):
@@ -110,7 +108,14 @@ def main():
                          "sides (see module docstring)")
     ap.add_argument("--tolerance", type=float, default=0.01,
                     help="max per-coordinate |delta| in Angstrom")
+    ap.add_argument("--platform", default=None,
+                    help="force the JAX platform (e.g. 'cpu'); needed where "
+                         "a sitecustomize pins JAX_PLATFORMS early")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     aln_path = args.aln or os.path.join(
         args.reference_path, "dmpfold", "example", "PF10963.aln")
@@ -152,8 +157,24 @@ def main():
     torch.symeig = _symeig
     from dmpfold.predict import aln_to_coords as ref_aln_to_coords
 
-    ref_c, ref_f = ref_aln_to_coords(
-        aln_path, iterations=args.iterations, minsteps=args.minsteps)
+    # pass the checkpoint explicitly as ONE merged file: without
+    # weights_file the reference resolves weights against ITS OWN package
+    # dir (predict.py:83-92) — absent there, it would re-download (or die
+    # on a read-only mount), silently ignoring the weights being verified
+    import tempfile
+
+    merged = {}
+    for part in paths:
+        merged.update(torch.load(part, map_location="cpu"))
+    with tempfile.NamedTemporaryFile(suffix=".pt", delete=False) as tmp:
+        torch.save(merged, tmp.name)
+        merged_path = tmp.name
+    try:
+        ref_c, ref_f = ref_aln_to_coords(
+            aln_path, iterations=args.iterations, minsteps=args.minsteps,
+            weights_file=merged_path)
+    finally:
+        os.unlink(merged_path)
     ref_c, ref_f = ref_c.numpy(), ref_f.numpy()
 
     dc = np.abs(ours_c - ref_c)
