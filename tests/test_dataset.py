@@ -295,6 +295,26 @@ def test_prefetch_order_and_errors():
     assert got == [1, 2]
 
 
+def test_evaluate_validation_tm(data_dir):
+    """The evaluation command folds validation clusters and scores CA
+    TM/RMSD against the tdb ground truth (net-new model-selection tooling;
+    the reference reports only its composite loss)."""
+    from dmpfold2_tpu.train.evaluate import evaluate
+
+    _, val_list = load_cluster_list(os.path.join(data_dir, "clusters.lst"))
+    params = gruresnet.init_params(jax.random.PRNGKey(0), width=16, cwidth=8,
+                                   num_blocks=2)
+    summary, records = evaluate(params, val_list, data_dir=data_dir,
+                                iterations=1, minsteps=2, precision="fp32",
+                                batch_size=2, verbose=False)
+    assert summary["targets"] == 2 and summary["skipped"] == 0
+    assert 0.0 <= summary["tm_mean"] <= 1.0
+    assert summary["rmsd_mean"] >= 0.0
+    for rec in records:
+        assert 0.0 <= rec["tm"] <= 1.0
+        assert rec["nres"] in (20, 26)
+
+
 def test_prefetch_abandoned_consumer_stops_producer():
     """If the consumer abandons the generator mid-epoch (e.g. train_step
     raised), the producer thread must stop instead of blocking forever on a
