@@ -177,14 +177,26 @@ def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
 
 def fused_fits(l_cols: int, c_out: int = 512, c_in: int = 128, pool: int = 4,
                with_argmax: bool = False) -> bool:
-    """Whether the fused kernel's smallest band fits VMEM at this row width.
+    """Whether the fused kernel can run at this shape (VMEM + tiling).
 
-    The kernel holds one full output row (plus KSIZE dx-shifted input rows)
-    resident, so beyond L ≈ 1000 even a one-row band overflows the 16 MB
-    VMEM (measured: L=1536 fails Mosaic compilation). maxout2d/resnet_block
-    consult this and keep the XLA conv path for such sizes — those long
-    targets are also exactly the regime served by seq-axis sharding.
+    Two gates, both hardware constraints the interpret-mode tests cannot
+    see:
+
+    * channel alignment — the dx-interleaved window slices and the output
+      pool-group lane blocks require ``c_in`` and ``c_out/pool`` to be
+      multiples of the 128-wide lane tiling. Mosaic rejects misaligned
+      slices at compile time (measured: a width-32 experiment model fails
+      with "Slice shape along dimension 2 must be aligned to tiling (128),
+      but is 32" — caught by the round-4 hardware training-CLI drive);
+      such small models keep the XLA conv path.
+    * VMEM — the kernel holds one full output row (plus KSIZE dx-shifted
+      input rows) resident, so beyond L ≈ 1000 even a one-row band
+      overflows the 16 MB VMEM (measured: L=1536 fails Mosaic
+      compilation). Those long targets are also exactly the regime served
+      by seq-axis sharding.
     """
+    if c_in % 128 != 0 or (c_out // pool) % 128 != 0:
+        return False
     return _pick_band(l_cols, c_out, c_in, pool, with_argmax) > 0
 
 

@@ -385,6 +385,13 @@ def test_fused_conv_vmem_fit_gate():
     assert fused_fits(96) and fused_fits(736) and fused_fits(896)
     assert not fused_fits(896, with_argmax=True)  # diff path banks argmax too
     assert not fused_fits(960) and not fused_fits(1536)
+    # lane-tiling alignment: Mosaic rejects c_in (or c_out/pool) that is
+    # not a multiple of 128 — a width-32 experiment model crashed the
+    # round-4 hardware training run before this gate existed
+    assert not fused_fits(96, c_out=128, c_in=32, pool=4)
+    assert not fused_fits(96, c_out=256, c_in=64, pool=4)
+    assert not fused_fits(96, c_out=256, c_in=128, pool=4)  # group 64
+    assert fused_fits(96, c_out=512, c_in=256, pool=4)  # aligned + fits
     assert _pick_band(1536, 512, 128, 4, False) == 0
     with pytest.raises(ValueError):
         _divisor_band(1536, 1536, 512, 128, 4, False)
