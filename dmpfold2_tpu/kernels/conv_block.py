@@ -440,16 +440,25 @@ def _diff_bwd(pool, interpret, res, g):
     db = jnp.sum(g4, axis=(0, 1, 2))
     g4 = g4.astype(jnp.bfloat16)
 
-    # dx: correlate the scattered cotangent with flipped, I/O-swapped
-    # weights. (Routing this through the fused kernel with pool=1 was
-    # measured time-neutral at L=352 — the XLA 5x5 conv is kept for
-    # simplicity; the kernel's pool=1 mode remains tested for reuse.)
-    w_hat = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2)).astype(jnp.bfloat16)
+    # dx, pool-decomposed: dx = sum_p conv(g * [idx==p], flip(w_p)^T) with
+    # w_p = w[..., p::pool] (old channel c = g_idx*pool + p). Four thin
+    # group->c_in convs instead of one conv over the 512-wide scattered
+    # cotangent: the wide tensor never feeds the conv, and the thin convs
+    # run at 70% of peak vs 46% for the scattered form — 4.4 -> 2.9 ms per
+    # block at L=352 (scripts/probe_dx.py; the 25-shifted-GEMM dw trick
+    # applied to dx is memory-bound at 6.7% and loses).
     dims = ("NHWC", "HWIO", "NHWC")
     pad = ((PAD, PAD), (PAD, PAD))
-    dx = jax.lax.conv_general_dilated(
-        g4, w_hat, (1, 1), pad, dimension_numbers=dims,
-        preferred_element_type=jnp.float32)
+    dx = None
+    for p_idx in range(pool):
+        gp = jnp.where(idx == p_idx, g.astype(jnp.bfloat16), jnp.bfloat16(0))
+        w_p = w[..., p_idx::pool]
+        wp_hat = jnp.transpose(jnp.flip(w_p, (0, 1)),
+                               (0, 1, 3, 2)).astype(jnp.bfloat16)
+        d = jax.lax.conv_general_dilated(
+            gp, wp_hat, (1, 1), pad, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+        dx = d if dx is None else dx + d
     # dw[ky,kx,ci,co] = sum_{b,y,x} x_pad[b,y+ky,x+kx,ci] * g4[b,y,x,co] —
     # expressed as 25 shifted (Cin, B*L*L) @ (B*L*L, Cout) MXU GEMMs. The
     # classic batch<->feature-swap conv (L-by-L kernel, 5x5 output) hits a
