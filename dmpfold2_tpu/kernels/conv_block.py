@@ -429,29 +429,38 @@ def _diff_fwd(x, w, b, pool, interpret):
 
 
 def _diff_bwd(pool, interpret, res, g):
+    """Pool-decomposed backward: the 4x-channel scattered cotangent never
+    materializes. For each pool slice p the masked cotangent
+    ``gp = g * [idx==p]`` (old channel c = g_idx*pool + p) is group-wide,
+    and
+
+      * dx += conv(gp, flip(w[..., p::pool])^T)       — thin group->c_in conv
+      * dw[..., p::pool] = 25 shifted (Cin, B*L*L) @ (B*L*L, group) GEMMs
+      * db[p::pool] = spatial/batch sum of gp
+
+    Probed against the 512-wide scattered forms at L=352 (scripts/
+    probe_dx.py + a chained dw probe): dx 4.4 -> 2.9 ms in isolation AND
+    in the full step (train 1.29 -> 1.20 s); dw+db 5.2 -> 2.8 ms in
+    isolation but time-neutral in the full step (XLA already amortized
+    the wide dw GEMMs there) — kept because it never materializes the
+    512-wide cotangent, lowering the backward's peak memory. (The classic
+    batch<->feature-swap dw conv is worse still, 13 ms — a pathological
+    TPU path; and the 25-shifted-GEMM trick applied to dx is memory-bound
+    at 6.7% of peak and loses.)
+    """
     x, w, b, idx = res
     c_out = w.shape[-1]
     group = c_out // pool
-    # scatter the cotangent to the winning pool slice; reshaping the trailing
-    # (group, pool) pair lands value (g_idx, p) at old channel g_idx*pool + p
-    onehot = idx[..., None] == jnp.arange(pool, dtype=idx.dtype)
-    g4 = jnp.where(onehot, g[..., None].astype(jnp.float32), 0.0)
-    g4 = g4.reshape(*g.shape[:-1], c_out)
-    db = jnp.sum(g4, axis=(0, 1, 2))
-    g4 = g4.astype(jnp.bfloat16)
-
-    # dx, pool-decomposed: dx = sum_p conv(g * [idx==p], flip(w_p)^T) with
-    # w_p = w[..., p::pool] (old channel c = g_idx*pool + p). Four thin
-    # group->c_in convs instead of one conv over the 512-wide scattered
-    # cotangent: the wide tensor never feeds the conv, and the thin convs
-    # run at 70% of peak vs 46% for the scattered form — 4.4 -> 2.9 ms per
-    # block at L=352 (scripts/probe_dx.py; the 25-shifted-GEMM dw trick
-    # applied to dx is memory-bound at 6.7% and loses).
     dims = ("NHWC", "HWIO", "NHWC")
     pad = ((PAD, PAD), (PAD, PAD))
+    bsz, l1, l2, c_in = x.shape
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    gb = g.astype(jnp.bfloat16)
     dx = None
+    dws, dbs = [], []
     for p_idx in range(pool):
-        gp = jnp.where(idx == p_idx, g.astype(jnp.bfloat16), jnp.bfloat16(0))
+        gp = jnp.where(idx == p_idx, gb, jnp.bfloat16(0))
         w_p = w[..., p_idx::pool]
         wp_hat = jnp.transpose(jnp.flip(w_p, (0, 1)),
                                (0, 1, 3, 2)).astype(jnp.bfloat16)
@@ -459,23 +468,19 @@ def _diff_bwd(pool, interpret, res, g):
             gp, wp_hat, (1, 1), pad, dimension_numbers=dims,
             preferred_element_type=jnp.float32)
         dx = d if dx is None else dx + d
-    # dw[ky,kx,ci,co] = sum_{b,y,x} x_pad[b,y+ky,x+kx,ci] * g4[b,y,x,co] —
-    # expressed as 25 shifted (Cin, B*L*L) @ (B*L*L, Cout) MXU GEMMs. The
-    # classic batch<->feature-swap conv (L-by-L kernel, 5x5 output) hits a
-    # pathological TPU path: measured 13 ms/block at L=352 vs ~2 ms for the
-    # GEMMs (profile round 4, scripts/profile_block.py) — the single
-    # largest line item of the training step.
-    bsz, l1, l2, c_in = x.shape
-    xp = jnp.pad(x.astype(jnp.bfloat16),
-                 ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
-    g2 = g4.reshape(bsz * l1 * l2, c_out)
-    taps = []
-    for ky in range(KSIZE):
-        for kx in range(KSIZE):
-            xs = xp[:, ky : ky + l1, kx : kx + l2, :].reshape(
-                bsz * l1 * l2, c_in)
-            taps.append(jnp.dot(xs.T, g2, preferred_element_type=jnp.float32))
-    dw = jnp.stack(taps).reshape(KSIZE, KSIZE, c_in, c_out)
+        dbs.append(jnp.sum(gp.astype(jnp.float32), axis=(0, 1, 2)))
+        g2 = gp.reshape(bsz * l1 * l2, group)
+        taps = []
+        for ky in range(KSIZE):
+            for kx in range(KSIZE):
+                xs = xp[:, ky : ky + l1, kx : kx + l2, :].reshape(
+                    bsz * l1 * l2, c_in)
+                taps.append(jnp.dot(xs.T, g2,
+                                    preferred_element_type=jnp.float32))
+        dws.append(jnp.stack(taps).reshape(KSIZE, KSIZE, c_in, group))
+    # interleave the per-slice results back to old channel order g_idx*pool+p
+    dw = jnp.stack(dws, axis=-1).reshape(KSIZE, KSIZE, c_in, c_out)
+    db = jnp.stack(dbs, axis=-1).reshape(c_out)
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
 
 
