@@ -344,3 +344,29 @@ def test_train_step_recycle_remat_runs():
             assert delta > 0.0
     finally:
         step_mod._resolve_remat = orig
+
+
+def test_overfit_single_sample_loss_decreases(tiny_setup):
+    """End-to-end optimization evidence: repeatedly stepping on ONE sample
+    must drive the composite loss down (the reference's training run is its
+    only such evidence, train.py:351-400 — here it is a 50-step overfit).
+    Dropout and teacher-forcing noise make per-step losses jumpy, so the
+    criterion compares first-5 vs last-5 averages."""
+    params, batch = tiny_setup
+    one = TrainBatch(batch.alnmat[:1], batch.targets[:1],
+                     batch.nseqs[:1], batch.nres[:1])
+    opt = make_optimizer(3e-3)
+    opt_state = opt.init(params)
+    losses = []
+    key = jax.random.PRNGKey(11)
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = train_step(
+            params, opt_state, one, sub,
+            optimizer=opt, nloops=0, refine_steps=0,
+        )
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1]), f"step {i} loss not finite"
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert last < 0.8 * first, (
+        f"loss did not decrease: first5={first:.4f} last5={last:.4f}\n{losses}")
