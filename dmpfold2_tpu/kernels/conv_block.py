@@ -468,7 +468,9 @@ def _diff_bwd(pool, interpret, res, g):
             gp, wp_hat, (1, 1), pad, dimension_numbers=dims,
             preferred_element_type=jnp.float32)
         dx = d if dx is None else dx + d
-        dbs.append(jnp.sum(gp.astype(jnp.float32), axis=(0, 1, 2)))
+        # db sums the UN-rounded cotangent (gp is bf16 for the MXU convs)
+        dbs.append(jnp.sum(jnp.where(idx == p_idx, g, 0.0).astype(jnp.float32),
+                           axis=(0, 1, 2)))
         g2 = gp.reshape(bsz * l1 * l2, group)
         taps = []
         for ky in range(KSIZE):
