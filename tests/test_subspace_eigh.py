@@ -123,3 +123,26 @@ def test_forward_subspace_close_to_eigh(seed, force_subspace):
     # (bf16 trunk noise is larger)
     assert dc < 0.05, f"coords deviated {dc}"
     assert df < 5e-3, f"confidence deviated {df}"
+
+
+def test_subspace_gate_small_buckets_fall_back():
+    """The production gate (SUBSPACE_MIN_L, un-monkeypatched): below it,
+    impl="subspace" must route to the exact eigh path (a q=32 basis cannot
+    return 8 full eigenpairs there); at or above it, the subspace path runs
+    (round 4 lowered the gate from 192 after the chained probe showed
+    subspace faster at every size — the two paths differ numerically only
+    to the iteration's convergence tolerance)."""
+    rng = np.random.default_rng(7)
+    assert geometry.SUBSPACE_MIN_L <= 88, "throughput buckets must qualify"
+    # below the gate: bitwise identical to the eigh path
+    dm_small = _realistic_dm(rng, geometry.SUBSPACE_MIN_L - 8, 12)
+    ref = np.asarray(mds_coords(dm_small, nres=12, impl="eigh"))
+    got = np.asarray(mds_coords(dm_small, nres=12, impl="subspace"))
+    np.testing.assert_array_equal(got, ref)
+    # at the Pfam-bucket size: subspace genuinely runs (close, not bitwise)
+    dm = _realistic_dm(rng, 88, 82)
+    ref = np.asarray(mds_coords(dm, nres=82, impl="eigh"))
+    got = np.asarray(mds_coords(dm, nres=82, impl="subspace"))
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=2e-2 * scale)
+    assert not np.array_equal(got, ref)
