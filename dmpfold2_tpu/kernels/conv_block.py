@@ -48,7 +48,7 @@ def _perm_indices(c_out: int, pool: int):
 
 def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
             c_in: int, c_out: int, pool: int, with_argmax: bool,
-            with_stats: bool, n_win: int):
+            with_stats: bool, n_win: int, n_panels: int, w_win: int):
     if with_stats:
         nr_ref, j0_ref = refs[:2]
         refs = refs[2:]
@@ -61,26 +61,35 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
         o_ref, win_ref, sem = refs[:3]
         sh_refs = refs[3:]
     i = pl.program_id(0)
-    n_bands = pl.num_programs(0)
+    n_steps = pl.num_programs(0)
 
     # double-buffered window DMA (n_win=2): two slots in win_ref / sem so
-    # band i+1's HBM->VMEM copy streams in underneath band i's compaction +
+    # step i+1's HBM->VMEM copy streams in underneath step i's compaction +
     # matmuls (the v1 kernel did start();wait() back-to-back — every band
     # stalled on its own copy). TPU grid steps run sequentially on one
-    # core, so slot (i+1)%2's previous occupant (band i-1) was consumed
-    # last step. n_win=1 keeps the serial copy for row widths where the
+    # core, so slot (i+1)%2's previous occupant (step i-1) was consumed
+    # last step. n_win=1 keeps the serial copy for widths where the
     # second window slot would overflow VMEM (the wrapper decides).
-    def window_dma(slot, band):
-        return pltpu.make_async_copy(
-            x_ref.at[pl.ds(band * t_rows, t_rows + 2 * PAD)],
-            win_ref.at[slot], sem.at[slot])
+    #
+    # Column tiling (n_panels > 1): a grid step covers one (row band,
+    # column panel) pair — band-major, panel-minor — and the window is a
+    # 2D slice with a ±PAD-column halo, so output rows wider than VMEM
+    # (L >= ~900) still run the fused kernel (round-4 verdict item 1).
+    def window_dma(slot, step):
+        if n_panels == 1:
+            src = x_ref.at[pl.ds(step * t_rows, t_rows + 2 * PAD)]
+        else:
+            src = x_ref.at[
+                pl.ds((step // n_panels) * t_rows, t_rows + 2 * PAD),
+                pl.ds((step % n_panels) * l_al, w_win)]
+        return pltpu.make_async_copy(src, win_ref.at[slot], sem.at[slot])
 
     if n_win == 2:
         @pl.when(i == 0)
         def _():
             window_dma(0, 0).start()
 
-        @pl.when(i + 1 < n_bands)
+        @pl.when(i + 1 < n_steps)
         def _():
             window_dma((i + 1) % 2, i + 1).start()
 
@@ -124,18 +133,25 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
             bidx = jnp.where(sl > out, p_idx, bidx)
         out = jnp.maximum(out, sl)
     out3 = out.reshape(t_rows, l_al, group)
-    o_ref[:] = out3[:, :l_cols].astype(o_ref.dtype)
+    if n_panels == 1:
+        o_ref[:] = out3[:, :l_cols].astype(o_ref.dtype)
+    else:
+        # full panels are written; the wrapper slices off columns >= l_cols
+        o_ref[:] = out3.astype(o_ref.dtype)
     if with_argmax:
-        idx_ref[:] = bidx.reshape(t_rows, l_al, group)[:, :l_cols]
+        bidx3 = bidx.reshape(t_rows, l_al, group)
+        idx_ref[:] = bidx3[:, :l_cols] if n_panels == 1 else bidx3
     if with_stats:
-        # masked InstanceNorm partial sums over this band (bands are
+        # masked InstanceNorm partial sums over this step (bands are
         # target-aligned: t_rows | stride, enforced by the wrapper). Valid
         # region is the square [0, nr)²; output tall row j0+rr is data row
         # j0+rr of its target. Cols >= l_cols (alignment pad) have col >= nr.
-        nr = nr_ref[i]
+        band = i // n_panels
+        nr = nr_ref[band]
         shape3 = (t_rows, l_al, group)
-        row_j = j0_ref[i] + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+        row_j = j0_ref[band] + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+        col = ((i % n_panels) * l_al
+               + jax.lax.broadcasted_iota(jnp.int32, shape3, 1))
         valid = (row_j < nr) & (col < nr)
         masked = jnp.where(valid, out3, 0.0)
         s = jnp.sum(masked, axis=(0, 1))[None]
@@ -147,29 +163,38 @@ def _kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, l_cols: int, l_al: int,
 
 
 def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
-               with_argmax: bool, n_win: int = 1) -> int:
+               with_argmax: bool, n_win: int = 1,
+               panel_w: int | None = None) -> int:
     """Largest row-band that fits the VMEM budget; 0 if even one row does
-    not fit (callers must fall back to the XLA conv path then).
+    not fit at this column width.
 
-    ``n_win``: window-buffer slots. 2 = double-buffered DMA (band i+1's
-    copy overlaps band i's compute); the wrapper prefers 2 and falls back
-    to 1 only where the second slot would not fit (row widths near the
-    VMEM ceiling).
+    ``n_win``: window-buffer slots. 2 = double-buffered DMA (step i+1's
+    copy overlaps step i's compute); the wrapper prefers 2 and falls back
+    to 1 only where the second slot would not fit (widths near the VMEM
+    ceiling).
+
+    ``panel_w``: column-panel width (None = one full-row panel). With
+    panels, each grid step holds only ``panel_w`` output columns (plus a
+    ±PAD-column window halo) resident, so arbitrarily wide rows fit.
     """
     # budget by total VMEM: fp32 accumulator + n_win window slots + the
     # dx-interleaved bf16 buffer + weights + output band, within ~12 MB of
     # the 16 MB VMEM
-    l_al = -(-l_cols // 8) * 8
+    if panel_w is None:
+        l_al = -(-l_cols // 8) * 8
+        out_w = l_cols
+    else:
+        l_al = out_w = panel_w
     w_win = -(-(l_al + 2 * PAD) // 8) * 8
     weights = KSIZE * KSIZE * c_in * c_out * 2
     # per output element: bf16 out (2 B) + int32 argmax residual (4 B) when
     # the training VJP asks for it
     out_bytes = 2 + (4 if with_argmax else 0)
-    for t in (20, 16, 10, 8, 5, 4, 2, 1):
+    for t in (20, 16, 12, 10, 8, 6, 5, 4, 3, 2, 1):
         acc = t * l_al * c_out * 4
         win = n_win * (t + 2 * PAD) * w_win * c_in * 2
         shifted = KSIZE * (t + 2 * PAD) * l_al * c_in * 2
-        out = t * l_cols * (c_out // pool) * out_bytes
+        out = t * out_w * (c_out // pool) * out_bytes
         if acc + win + shifted + weights + out <= 12 * 2 ** 20:
             return t
     return 0
@@ -177,49 +202,88 @@ def _pick_band(l_cols: int, c_out: int, c_in: int, pool: int,
 
 def fused_fits(l_cols: int, c_out: int = 512, c_in: int = 128, pool: int = 4,
                with_argmax: bool = False) -> bool:
-    """Whether the fused kernel can run at this shape (VMEM + tiling).
+    """Whether the fused kernel can run at this shape (lane tiling).
 
-    Two gates, both hardware constraints the interpret-mode tests cannot
-    see:
+    Gate (a hardware constraint the interpret-mode tests cannot see):
+    channel alignment — the dx-interleaved window slices and the output
+    pool-group lane blocks require ``c_in`` and ``c_out/pool`` to be
+    multiples of the 128-wide lane tiling. Mosaic rejects misaligned
+    slices at compile time (measured: a width-32 experiment model fails
+    with "Slice shape along dimension 2 must be aligned to tiling (128),
+    but is 32" — caught by the round-4 hardware training-CLI drive);
+    such small models keep the XLA conv path.
 
-    * channel alignment — the dx-interleaved window slices and the output
-      pool-group lane blocks require ``c_in`` and ``c_out/pool`` to be
-      multiples of the 128-wide lane tiling. Mosaic rejects misaligned
-      slices at compile time (measured: a width-32 experiment model fails
-      with "Slice shape along dimension 2 must be aligned to tiling (128),
-      but is 32" — caught by the round-4 hardware training-CLI drive);
-      such small models keep the XLA conv path.
-    * VMEM — the kernel holds one full output row (plus KSIZE dx-shifted
-      input rows) resident, so beyond L ≈ 1000 even a one-row band
-      overflows the 16 MB VMEM (measured: L=1536 fails Mosaic
-      compilation). Those long targets are also exactly the regime served
-      by seq-axis sharding.
+    VMEM is no longer a gate: beyond L ≈ 870 a full output row overflows
+    the ~12 MB budget (rounds 1-4 fell back to the ~51%-of-peak XLA conv
+    there), but the kernel now column-tiles the row into panels with a
+    ±PAD-column halo (:func:`_layout`), so any row width a 128-wide panel
+    can cover runs fused.
     """
     if c_in % 128 != 0 or (c_out // pool) % 128 != 0:
         return False
-    return _pick_band(l_cols, c_out, c_in, pool, with_argmax) > 0
+    try:
+        _layout(0, l_cols, c_out, c_in, pool, with_argmax)
+    except ValueError:
+        return False
+    return True
 
 
-def _divisor_band(tall: int, l_cols: int, c_out: int, c_in: int, pool: int,
-                  with_argmax: bool) -> tuple[int, int]:
-    """(band rows, window slots): double-buffered when the 2nd slot fits."""
+def _best_divisor(tall: int, cap: int) -> int:
+    """Largest band height <= cap dividing the tall image (1 always works).
+
+    ``tall == 0`` is a pure feasibility probe (fused_fits): return the cap.
+    """
+    if tall == 0:
+        return cap
+    for t in range(cap, 0, -1):
+        if tall % t == 0:
+            return t
+    return 1
+
+
+def _layout(tall: int, l_cols: int, c_out: int, c_in: int, pool: int,
+            with_argmax: bool) -> tuple[int, int, int, int | None]:
+    """(band rows, window slots, column panels, panel width|None).
+
+    Prefers the single full-row panel whenever it fits (the configuration
+    every bucket <= ~870 columns has been measured at — 93-95% of bf16
+    peak); column-tiles otherwise, scoring candidate (rows x panel-width)
+    layouts by their MXU M-dimension ``t*panel_w`` (which simultaneously
+    minimises the (t+2·PAD)/t window-halo recompaction overhead).
+    """
     for n_win in (2, 1):
-        budget = _pick_band(l_cols, c_out, c_in, pool, with_argmax, n_win)
-        if budget > 0:
-            for t in range(budget, 0, -1):
-                if tall % t == 0:
-                    return t, n_win
-            return 1, n_win
+        cap = _pick_band(l_cols, c_out, c_in, pool, with_argmax, n_win)
+        if cap > 0:
+            return _best_divisor(tall, cap), n_win, 1, None
+    best: tuple | None = None
+    for n_panels in range(2, -(-l_cols // 128) + 1):
+        panel_w = -(-l_cols // (8 * n_panels)) * 8  # round8(ceil(l/k))
+        if panel_w < 128:
+            break
+        if (n_panels - 1) * panel_w >= l_cols:
+            continue  # fewer panels already cover this width
+        for n_win in (2, 1):
+            cap = _pick_band(l_cols, c_out, c_in, pool, with_argmax, n_win,
+                             panel_w)
+            if cap > 0:
+                t = _best_divisor(tall, cap)
+                score = (t * panel_w, -n_panels)
+                if best is None or score > best[0]:
+                    best = (score, (t, n_win, n_panels, panel_w))
+                break
+    if best is not None:
+        return best[1]
     raise ValueError(
-        f"fused conv band does not fit VMEM at row width {l_cols}; "
-        "gate callers with kernels.conv_block.fused_fits()")
+        f"fused conv does not fit VMEM at row width {l_cols} even "
+        "column-tiled; gate callers with kernels.conv_block.fused_fits()")
 
 
 @partial(jax.jit, static_argnames=("pool", "interpret", "with_argmax",
-                                   "with_stats"))
+                                   "with_stats", "force_layout"))
 def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
                    interpret: bool = False, with_argmax: bool = False,
-                   with_stats: bool = False):
+                   with_stats: bool = False,
+                   force_layout: tuple | None = None):
     """Fused conv+bias+maxout: (B, L, L, C) x (5, 5, C, C*pool) -> (B, L, L, C/...).
 
     Batches are stacked into one tall image with the ±2 zero-pad rows between
@@ -241,6 +305,10 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
     boundary. Returns ``(out, sums, sumsqs)`` with sums/sumsqs (B, C/pool).
     Mutually exclusive with ``with_argmax`` (stats serve the inference
     path; training differentiates the unfused norm).
+
+    ``force_layout``: override the VMEM layout search with an explicit
+    ``(t_rows, n_win, n_panels, panel_w)`` — tests (interpret-mode panel
+    parity at small shapes) and hardware probes only.
     """
     assert not (with_argmax and with_stats)
     batch, l_rows, l_cols, c_in = x.shape
@@ -256,30 +324,42 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
     # matching the kernel's dx-interleaved lane blocks
     w = w.reshape(KSIZE, KSIZE * c_in, c_out)
 
-    # l_al: the dx-shifted buffers' width, 8-aligned so dy row-slices of
-    # their 2D views are free; the window must fit dx + l_al columns
-    l_al = -(-l_cols // 8) * 8
-    w_win = -(-(l_al + 2 * PAD) // 8) * 8
-    x_pad = jnp.pad(x.astype(jnp.bfloat16),
-                    ((0, 0), (PAD, PAD), (PAD, w_win - PAD - l_cols), (0, 0)))
     stride = l_rows + 2 * PAD
     tall = batch * stride
-    x_tall = x_pad.reshape(tall, w_win, c_in)
+    if force_layout is not None:
+        t_rows, n_win, n_panels, panel_w = force_layout
+    else:
+        # with_stats: bands must not cross target boundaries (t_rows | stride)
+        t_rows, n_win, n_panels, panel_w = _layout(
+            stride if with_stats else tall, l_cols, c_out, c_in, pool,
+            with_argmax)
+
+    # l_al: the dx-shifted buffers' width (full row, or one column panel),
+    # 8-aligned so dy row-slices of their 2D views are free; each window
+    # must fit dx + l_al columns
+    if n_panels == 1:
+        l_al = -(-l_cols // 8) * 8
+        out_w = l_cols
+        w_tot = w_win = -(-(l_al + 2 * PAD) // 8) * 8
+    else:
+        l_al = out_w = panel_w
+        w_win = -(-(panel_w + 2 * PAD) // 8) * 8
+        # panel k's window reads padded cols [k*panel_w, k*panel_w + w_win)
+        w_tot = (n_panels - 1) * panel_w + w_win
+    x_pad = jnp.pad(x.astype(jnp.bfloat16),
+                    ((0, 0), (PAD, PAD), (PAD, w_tot - PAD - l_cols), (0, 0)))
+    x_tall = x_pad.reshape(tall, w_tot, c_in)
     # 2*PAD extra zero rows so the last band's window stays in bounds
     x_tall = jnp.pad(x_tall, ((0, 2 * PAD), (0, 0), (0, 0)))
 
-    if with_stats:
-        # bands must not cross target boundaries: pick t_rows | stride
-        t_rows, n_win = _divisor_band(stride, l_cols, c_out, c_in, pool,
-                                      with_argmax)
-    else:
-        t_rows, n_win = _divisor_band(tall, l_cols, c_out, c_in, pool,
-                                      with_argmax)
     n_bands = tall // t_rows
+    n_steps = n_bands * n_panels
 
-    out_spec = pl.BlockSpec((t_rows, l_cols, group),
-                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((tall, l_cols, group), jnp.bfloat16)
+    out_spec = pl.BlockSpec((t_rows, out_w, group),
+                            lambda i: (i // n_panels, i % n_panels, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((tall, n_panels * out_w, group),
+                                     jnp.bfloat16)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # padded tall input, HBM
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
@@ -289,15 +369,16 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
     if with_argmax:
         out_spec = [out_spec, out_spec]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((tall, l_cols, group), jnp.int32)]
+                     jax.ShapeDtypeStruct((tall, n_panels * out_w, group),
+                                          jnp.int32)]
     elif with_stats:
         if nres is None:
             nres = jnp.full((batch,), l_rows, jnp.int32)
         band_starts = jnp.arange(n_bands, dtype=jnp.int32) * t_rows
         nr_band = jnp.asarray(nres, jnp.int32)[band_starts // stride]
         j0_band = band_starts % stride
-        # whole arrays in SMEM, indexed by program id (Mosaic requires
-        # rank-1 blocks to cover the array or tile by 128)
+        # whole arrays in SMEM, indexed by band = program id // n_panels
+        # (Mosaic requires rank-1 blocks to cover the array or tile by 128)
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -305,15 +386,16 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
         operands += [nr_band, j0_band]
         stat_spec = pl.BlockSpec((1, 8, group), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        stat_shape = jax.ShapeDtypeStruct((n_bands, 8, group), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((n_steps, 8, group), jnp.float32)
         out_spec = [out_spec, stat_spec]
         out_shape = [out_shape, stat_shape]
 
     out = pl.pallas_call(
         partial(_kernel, t_rows=t_rows, l_cols=l_cols, l_al=l_al, c_in=c_in,
                 c_out=c_out, pool=pool, with_argmax=with_argmax,
-                with_stats=with_stats, n_win=n_win),
-        grid=(n_bands,),
+                with_stats=with_stats, n_win=n_win, n_panels=n_panels,
+                w_win=w_win),
+        grid=(n_steps,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
@@ -326,13 +408,15 @@ def conv5x5_maxout(x, w, b, pool: int = 4, nres=None, *,
         ],
         interpret=interpret,
     )(*operands)
-    # tall row k*stride + j is the conv output for target k's data row j
-    untall = lambda a: a.reshape(batch, stride, l_cols, group)[:, :l_rows]
+    # tall row k*stride + j is the conv output for target k's data row j;
+    # columns >= l_cols (alignment / last-panel overhang) are sliced off
+    untall = lambda a: a.reshape(batch, stride, n_panels * out_w,
+                                 group)[:, :l_rows, :l_cols]
     if with_argmax:
         return untall(out[0]), untall(out[1])
     if with_stats:
-        bands_per = stride // t_rows
-        stats = out[1].reshape(batch, bands_per, 8, group).sum(axis=1)
+        steps_per = (stride // t_rows) * n_panels
+        stats = out[1].reshape(batch, steps_per, 8, group).sum(axis=1)
         return untall(out[0]), stats[:, 0], stats[:, 1]
     return untall(out)
 
@@ -456,6 +540,11 @@ def _diff_bwd(pool, interpret, res, g):
     bsz, l1, l2, c_in = x.shape
     xp = jnp.pad(x.astype(jnp.bfloat16),
                  ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    # the 25 shifted input views are pool-independent: build them once
+    # outside the pool loop (XLA dedups the repeats anyway — measured
+    # time-neutral — but this keeps the emitted HLO 4x smaller)
+    xs = [xp[:, ky : ky + l1, kx : kx + l2, :].reshape(bsz * l1 * l2, c_in)
+          for ky in range(KSIZE) for kx in range(KSIZE)]
     gb = g.astype(jnp.bfloat16)
     dx = None
     dws, dbs = [], []
@@ -472,13 +561,8 @@ def _diff_bwd(pool, interpret, res, g):
         dbs.append(jnp.sum(jnp.where(idx == p_idx, g, 0.0).astype(jnp.float32),
                            axis=(0, 1, 2)))
         g2 = gp.reshape(bsz * l1 * l2, group)
-        taps = []
-        for ky in range(KSIZE):
-            for kx in range(KSIZE):
-                xs = xp[:, ky : ky + l1, kx : kx + l2, :].reshape(
-                    bsz * l1 * l2, c_in)
-                taps.append(jnp.dot(xs.T, g2,
-                                    preferred_element_type=jnp.float32))
+        taps = [jnp.dot(x_s.T, g2, preferred_element_type=jnp.float32)
+                for x_s in xs]
         dws.append(jnp.stack(taps).reshape(KSIZE, KSIZE, c_in, group))
     # interleave the per-slice results back to old channel order g_idx*pool+p
     dw = jnp.stack(dws, axis=-1).reshape(KSIZE, KSIZE, c_in, c_out)

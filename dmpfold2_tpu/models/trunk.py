@@ -99,9 +99,10 @@ def maxout_params(key, in_ch: int, out_ch: int, pool: int, ksize: int, block: in
 
 
 def _fused_fits(maxout_p, x, pool: int = 4, with_argmax: bool = False) -> bool:
-    """VMEM-fit gate for the fused conv kernel at this row width (the kernel
-    holds full rows resident; beyond L~900 even a one-row band overflows —
-    see kernels.conv_block.fused_fits). Such targets keep the XLA conv.
+    """Eligibility gate for the fused conv kernel at this shape (channel
+    lane alignment — see kernels.conv_block.fused_fits; long rows that
+    overflow VMEM are column-tiled by the kernel itself, so row width no
+    longer disqualifies).
     ``with_argmax``: the differentiable path also banks the argmax residual."""
     from ..kernels.conv_block import fused_fits
 

@@ -376,15 +376,17 @@ def test_fused_conv_in_trunk_interpret(monkeypatch):
     )
 
 
-def test_fused_conv_vmem_fit_gate():
-    """Beyond L~900 even a one-row band of the fused conv overflows VMEM
-    (measured: L=1536 fails Mosaic compilation on hardware). fused_fits
-    must report it and maxout2d/resnet_block must keep the XLA path."""
-    from dmpfold2_tpu.kernels.conv_block import _divisor_band, _pick_band, fused_fits
+def test_fused_conv_layout_selection():
+    """Layout policy: full-row bands whenever one fits VMEM (the measured
+    93-95%-of-peak configuration at every bucket <= ~870 cols), column
+    panels past the wall — so fused_fits no longer rejects long rows
+    (round-4 verdict item 1; the 896-1536 buckets used to drop to the
+    ~51%-of-peak XLA conv)."""
+    from dmpfold2_tpu.kernels.conv_block import _layout, _pick_band, fused_fits
 
-    assert fused_fits(96) and fused_fits(736) and fused_fits(896)
-    assert not fused_fits(896, with_argmax=True)  # diff path banks argmax too
-    assert not fused_fits(960) and not fused_fits(1536)
+    for l in (96, 736, 896, 960, 1024, 1536):
+        assert fused_fits(l), l
+    assert fused_fits(896, with_argmax=True)  # diff path banks argmax too
     # lane-tiling alignment: Mosaic rejects c_in (or c_out/pool) that is
     # not a multiple of 128 — a width-32 experiment model crashed the
     # round-4 hardware training run before this gate existed
@@ -392,14 +394,18 @@ def test_fused_conv_vmem_fit_gate():
     assert not fused_fits(96, c_out=256, c_in=64, pool=4)
     assert not fused_fits(96, c_out=256, c_in=128, pool=4)  # group 64
     assert fused_fits(96, c_out=512, c_in=256, pool=4)  # aligned + fits
-    assert _pick_band(1536, 512, 128, 4, False) == 0
-    with pytest.raises(ValueError):
-        _divisor_band(1536, 1536, 512, 128, 4, False)
 
-    # the model-level gate routes oversize rows away from the kernel: this
-    # would die in pallas_call on the CPU backend if the gate failed open
-    # (tiny channel count keeps the XLA fallback conv cheap; the fit math is
-    # evaluated with the real 128->512 geometry above)
+    # the single-panel budget still reports the wall; _layout tiles past it
+    assert _pick_band(1536, 512, 128, 4, False) == 0
+    t, n_win, n_panels, panel_w = _layout(1540, 1536, 512, 128, 4, False)
+    assert n_panels > 1 and panel_w % 8 == 0
+    assert (n_panels - 1) * panel_w < 1536 <= n_panels * panel_w
+    assert 1540 % t == 0
+    # the budget must actually hold for the chosen panel layout
+    assert _pick_band(1536, 512, 128, 4, False, n_win, panel_w) >= t
+    # short rows keep the exact rounds-1-4 single-panel layout
+    assert _layout(48 * 260, 256, 512, 128, 4, False)[2] == 1
+
     from dmpfold2_tpu.models.trunk import _fused_fits
 
     # ShapeDtypeStructs: the gate only reads static shapes — no need to
@@ -407,5 +413,61 @@ def test_fused_conv_vmem_fit_gate():
     p = {"w": jax.ShapeDtypeStruct((5, 5, 128, 512), jnp.float32),
          "b": jax.ShapeDtypeStruct((512,), jnp.float32)}
     x = jax.ShapeDtypeStruct((1, 1536, 1536, 128), jnp.bfloat16)
-    assert not _fused_fits(p, x)
+    assert _fused_fits(p, x)  # long rows now run fused (column-tiled)
     assert _fused_fits(p, jax.ShapeDtypeStruct((1, 96, 96, 128), jnp.bfloat16))
+    assert not _fused_fits(
+        {"w": jax.ShapeDtypeStruct((5, 5, 32, 128), jnp.float32),
+         "b": jax.ShapeDtypeStruct((128,), jnp.float32)},
+        jax.ShapeDtypeStruct((1, 96, 96, 32), jnp.bfloat16))
+
+
+def test_fused_conv_column_panels_match_single_panel():
+    """Column-tiled layouts (forced at a small shape) must reproduce the
+    single-panel kernel bit-for-bit, including the halo columns at panel
+    seams and the alignment overhang of the last panel."""
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
+
+    rng = np.random.default_rng(11)
+    B, L, C, CO = 2, 20, 8, 32
+    x = jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
+    ref = conv5x5_maxout(x, w, b, interpret=True)
+    for layout in ((4, 1, 2, 16), (2, 2, 3, 8), (6, 1, 2, 16)):
+        out = conv5x5_maxout(x, w, b, interpret=True, force_layout=layout)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
+def test_fused_conv_column_panels_stats_and_argmax():
+    """The stats (inference fused-norm) and argmax (training VJP) variants
+    must agree across panelings too: per-target masked sums see global
+    column indices, argmax routes identically."""
+    from dmpfold2_tpu.kernels.conv_block import conv5x5_maxout
+
+    rng = np.random.default_rng(12)
+    B, L, C, CO = 2, 20, 8, 32
+    nres = jnp.asarray([20, 13], jnp.int32)
+    x = jnp.asarray(rng.normal(size=(B, L, L, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 5, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
+
+    o_ref, s_ref, ss_ref = conv5x5_maxout(x, w, b, 4, nres, interpret=True,
+                                          with_stats=True)
+    # stats layouts need t_rows | stride (= 24)
+    o, s, ss = conv5x5_maxout(x, w, b, 4, nres, interpret=True,
+                              with_stats=True, force_layout=(4, 1, 2, 16))
+    np.testing.assert_array_equal(np.asarray(o, np.float32),
+                                  np.asarray(o_ref, np.float32))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                               rtol=1e-6, atol=1e-4)
+
+    o_ref, i_ref = conv5x5_maxout(x, w, b, 4, interpret=True,
+                                  with_argmax=True)
+    o, idx = conv5x5_maxout(x, w, b, 4, interpret=True, with_argmax=True,
+                            force_layout=(4, 1, 2, 16))
+    np.testing.assert_array_equal(np.asarray(o, np.float32),
+                                  np.asarray(o_ref, np.float32))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(i_ref))
