@@ -188,6 +188,20 @@ class Folder:
         ``AUTO_ITERATIONS_CAP``; the count actually run is left in
         ``self.last_auto_iterations``.
         """
+        return self.fold_async(alnmat, template_ca, iterations, minsteps)()
+
+    def fold_async(self, alnmat: np.ndarray,
+                   template_ca: np.ndarray | None = None,
+                   iterations=DEFAULT_ITERATIONS,
+                   minsteps: int = DEFAULT_MINSTEPS):
+        """Dispatch one fold without blocking on the result.
+
+        JAX execution is asynchronous: this pads, uploads and launches the
+        device program, then returns a zero-arg callable that fetches
+        ``(coords, confs)`` (blocking). Pipelined callers (the serving
+        dispatcher) launch the next target's fold while the device still
+        runs this one, hiding host-side parse/pad/upload time.
+        """
         adaptive = iterations == "auto"
         self.last_auto_iterations = None
         nloops = AUTO_ITERATIONS_CAP if adaptive else max(iterations, 0)
@@ -204,15 +218,19 @@ class Folder:
             refine_impl=self._refine_impl(), rgru_impl=self._rgru_impl(),
             mds_impl=self._mds_impl(), adaptive=adaptive,
         )
-        # one host fetch for all outputs (each np.asarray is a separate
-        # round trip on remote-device transports)
-        if adaptive:
-            coords, confs, iters = jax.device_get(
-                (out[0][:nres], out[1][:nres], out[2]))
-            self.last_auto_iterations = int(iters)
-        else:
-            coords, confs = jax.device_get((out[0][:nres], out[1][:nres]))
-        return np.asarray(coords), np.asarray(confs)
+
+        def fetch():
+            # one host fetch for all outputs (each np.asarray is a separate
+            # round trip on remote-device transports)
+            if adaptive:
+                coords, confs, iters = jax.device_get(
+                    (out[0][:nres], out[1][:nres], out[2]))
+                self.last_auto_iterations = int(iters)
+            else:
+                coords, confs = jax.device_get((out[0][:nres], out[1][:nres]))
+            return np.asarray(coords), np.asarray(confs)
+
+        return fetch
 
     def _vgru_impl(self) -> str:
         return resolve_vgru_impl(self.vgru_impl)

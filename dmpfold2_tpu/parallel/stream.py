@@ -149,6 +149,25 @@ class Target:
     template_ca: np.ndarray | None = None
 
 
+class PendingFolds:
+    """Handle for an in-flight :meth:`BatchFolder.fold_many_async` call.
+
+    ``wait()`` drives the remaining dispatch/retire pipeline to completion
+    and returns the result list (idempotent — later calls return the same
+    list)."""
+
+    def __init__(self, wait_fn):
+        self._wait_fn = wait_fn
+        self._results = None
+        self._done = False
+
+    def wait(self):
+        if not self._done:
+            self._results = self._wait_fn()
+            self._done = True
+        return self._results
+
+
 @dataclass
 class BatchFolder:
     """Groups targets by bucket and folds them in data-parallel batches."""
@@ -252,6 +271,19 @@ class BatchFolder:
         and input upload for the next batch hide under the device's current
         fold. Multi-process callers stay in lockstep because every process
         walks the same deterministic work list with the same window policy.
+        """
+        return self.fold_many_async(targets, iterations, minsteps).wait()
+
+    def fold_many_async(self, targets: Sequence[Target], iterations: int = 10,
+                        minsteps: int = 100) -> "PendingFolds":
+        """Start folding without blocking on results.
+
+        Pads, uploads and launches up to ``max_inflight`` batches (JAX
+        dispatch is asynchronous) and returns a :class:`PendingFolds` whose
+        ``wait()`` drives the remaining pipeline and returns the result
+        list. This is the serving dispatcher's overlap hook: group k+1's
+        parse/pad/upload runs while group k is still on device
+        (round-4 verdict item 3 — the dispatcher used to serialize groups).
         """
         n_data = max(self._n_data(), 1)
         batch = self.batch_size or n_data
@@ -388,19 +420,33 @@ class BatchFolder:
                         batch_size=pad_to,
                     )
 
+        work = [(bucket, idxs[start : start + batch])
+                for bucket, idxs in groups.items()
+                for start in range(0, len(idxs), batch)]
         inflight: list = []
-        for bucket, idxs in groups.items():
-            for start in range(0, len(idxs), batch):
-                chunk = idxs[start : start + batch]
+
+        def pump(block: bool):
+            """Advance the dispatch/retire pipeline; with ``block`` drain it."""
+            while work:
+                if len(inflight) >= self.max_inflight:
+                    if not block:
+                        return
+                    retire(inflight.pop(0))
+                bucket, chunk = work.pop(0)
                 try:
                     inflight.append(dispatch(bucket, chunk))
                 except Exception as exc:
                     # dispatch-time failure (e.g. compile error): fall back
                     # to per-target folds right away
                     requeue(bucket, chunk, owned_slots, exc)
-                    continue
-                while len(inflight) >= self.max_inflight:
+            if block:
+                while inflight:
                     retire(inflight.pop(0))
-        while inflight:
-            retire(inflight.pop(0))
-        return results
+
+        pump(block=False)
+
+        def wait():
+            pump(block=True)
+            return results
+
+        return PendingFolds(wait)

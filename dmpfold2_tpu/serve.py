@@ -100,8 +100,19 @@ class FoldService:
         self._ready = threading.Event()
         self._closed = False
         self._queue: queue.Queue = queue.Queue()
+        # pipelined dispatch (round-4 verdict item 3): the dispatcher thread
+        # only parses/pads/uploads/launches each group (JAX dispatch is
+        # async) and hands a finisher to this bounded queue; the finisher
+        # thread blocks on device results. Group k+1's host-side prep thus
+        # overlaps group k's device compute — the same depth-2 window
+        # parallel/stream.py uses one layer down. maxsize bounds in-flight
+        # device batches (and their HBM input buffers).
+        self._finish_queue: queue.Queue = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
+        self._finish_thread = threading.Thread(target=self._finish_loop,
+                                               daemon=True)
+        self._finish_thread.start()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -169,9 +180,10 @@ class FoldService:
         req = _FoldRequest(alnmat, iterations, minsteps, template_ca)
         self._queue.put(req)
         while not req.event.wait(timeout=1.0):
-            # belt for the close() race: if the dispatcher exited after we
+            # belt for the close() race: if the pipeline exited after we
             # checked _closed but before our put, nobody will set the event
-            if self._closed and not self._thread.is_alive():
+            if self._closed and not (self._thread.is_alive()
+                                     or self._finish_thread.is_alive()):
                 raise RuntimeError("service is shutting down")
         if req.error is not None:
             raise req.error
@@ -186,6 +198,9 @@ class FoldService:
             req = self._queue.get()
             if req is None:
                 self._drain_closed()
+                # let the finisher retire every already-launched group
+                # (graceful drain), then exit
+                self._finish_queue.put(None)
                 return
             batch = [req]
             # open the coalescing window only when more work is already
@@ -212,7 +227,10 @@ class FoldService:
             for r in batch:
                 groups.setdefault((r.iterations, r.minsteps), []).append(r)
             for (it, ms), reqs in groups.items():
-                self._run_group(it, ms, reqs)
+                fin = self._launch_group(it, ms, reqs)
+                if fin is not None:
+                    # blocks only when 2 groups are already in flight
+                    self._finish_queue.put(fin)
 
     def _drain_closed(self) -> None:
         """Fail any request enqueued in the close() race so its handler
@@ -226,8 +244,24 @@ class FoldService:
                 req.error = RuntimeError("service is shutting down")
                 req.event.set()
 
-    def _run_group(self, iterations: int, minsteps: int,
-                   reqs: list[_FoldRequest]) -> None:
+    def _finish_loop(self) -> None:
+        while True:
+            fin = self._finish_queue.get()
+            if fin is None:
+                return
+            fin()
+
+    def _launch_group(self, iterations: int, minsteps: int,
+                      reqs: list[_FoldRequest]):
+        """Dispatch one (iterations, minsteps) group without blocking on
+        device results.
+
+        Returns a finisher callable that fetches + distributes the results
+        (run on the finisher thread), or None when the launch itself failed
+        (request events already set). The launch covers parse/pad/upload —
+        exactly the host-side work that overlaps the previous group's
+        device compute under the depth-2 finish queue.
+        """
         self.batch_stats["dispatches"] += 1
         self.batch_stats["requests"] += len(reqs)
         self.batch_stats["max_coalesced"] = max(
@@ -236,20 +270,29 @@ class FoldService:
         if len(reqs) < self.min_batched:  # low load: single-target path
             r = reqs[0]
             try:
-                r.result = self.folder.fold(
+                fetch = self.folder.fold_async(
                     r.alnmat, r.template_ca,
                     iterations=iterations, minsteps=minsteps)
-                self.counters.record(r.alnmat.shape[1])
             except Exception as exc:
                 r.error = exc
-            r.event.set()
-            return
+                r.event.set()
+                return None
+
+            def finish_single():
+                try:
+                    r.result = fetch()
+                    self.counters.record(r.alnmat.shape[1])
+                except Exception as exc:
+                    r.error = exc
+                r.event.set()
+
+            return finish_single
 
         # quantize the device batch to the two warmed sizes (2, max_batch) so
         # coalesce counts never hit a cold batched program mid-traffic
         self.batcher.batch_size = 2 if len(reqs) == 2 else self.max_batch
         try:
-            results = self.batcher.fold_many(
+            pending = self.batcher.fold_many_async(
                 [Target(alnmat=r.alnmat, template_ca=r.template_ca)
                  for r in reqs],
                 iterations=iterations, minsteps=minsteps)
@@ -257,13 +300,24 @@ class FoldService:
             for r in reqs:
                 r.error = exc
                 r.event.set()
-            return
-        for r, res in zip(reqs, results):
-            if res is None:
-                r.error = RuntimeError("fold failed (see target_error log)")
-            else:
-                r.result = res
-            r.event.set()
+            return None
+
+        def finish_batched():
+            try:
+                results = pending.wait()
+            except Exception as exc:
+                for r in reqs:
+                    r.error = exc
+                    r.event.set()
+                return
+            for r, res in zip(reqs, results):
+                if res is None:
+                    r.error = RuntimeError("fold failed (see target_error log)")
+                else:
+                    r.result = res
+                r.event.set()
+
+        return finish_batched
 
 
 def make_handler(service: FoldService):
