@@ -85,7 +85,14 @@ def mds_coords(dm, nres=None, n_dims: int = 8, canonical_signs: bool = True,
         # rows/cols are already invisible to the iteration (one multiply by
         # the block matrix zeroes the start basis' padding components, and
         # exact-zero eigenvalues never reach the algebraic top-8 ahead of
-        # positive ones), so no diagonal shift is needed.
+        # positive ones), so no diagonal shift is needed. Caveat: that
+        # assumes the valid Gram block has >= 8 positive eigenvalues; a
+        # rank-deficient block (nres < ~10) can let padding's exact-zero
+        # eigenpairs occupy trailing top-8 slots, unlike the eigh path whose
+        # pad_diag sinks padding below even negative valid eigenvalues. The
+        # affected columns are clamped to sqrt(1e-8) so the coordinate
+        # impact is ~1e-4-scale and inference-only (pinned by
+        # tests/test_subspace_eigh.py::test_subspace_tiny_nres).
         w8, v8 = subspace_topk(gram, k=n_dims)
         w8 = jnp.maximum(w8, 1e-8)
         if canonical_signs:

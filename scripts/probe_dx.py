@@ -107,7 +107,8 @@ def main():
         acc = jnp.zeros((batch * l * l, c_in), jnp.float32)
         for ky in range(KSIZE):
             for kx in range(KSIZE):
-                gs = gp[:, 4 - ky : 4 - ky + l, 4 - kx : 4 - kx + l, :]
+                gs = gp[:, 2 * PAD - ky : 2 * PAD - ky + l,
+                        2 * PAD - kx : 2 * PAD - kx + l, :]
                 acc = acc + jnp.dot(gs.reshape(batch * l * l, c_out),
                                     wb[ky, kx].T,
                                     preferred_element_type=jnp.float32)
@@ -130,7 +131,10 @@ def main():
                      ("C_shift_gemm", dx_c)):
         def chain(g, idx, w, fn=fn):
             def body(_, carry):
-                gg = g + carry[:1, :1, :1, :128].astype(jnp.bfloat16)
+                # tie each iteration to the previous result (defeats CSE);
+                # slice to the group-channel width so the broadcast add
+                # typechecks for any c_in/c_out/pool config
+                gg = g + carry[:1, :1, :1, :group].astype(jnp.bfloat16)
                 return fn(gg, idx, w)
             acc = jax.lax.fori_loop(0, loops, body,
                                     jnp.zeros((batch, l, l, c_in), jnp.float32))

@@ -146,3 +146,27 @@ def test_subspace_gate_small_buckets_fall_back():
     scale = np.max(np.abs(ref))
     np.testing.assert_allclose(got, ref, atol=2e-2 * scale)
     assert not np.array_equal(got, ref)
+
+
+def test_subspace_tiny_nres():
+    """Rank-deficient valid Gram (nres < ~10, fewer than 8 positive
+    eigenvalues): padding's exact-zero eigenpairs can occupy trailing
+    top-8 slots in the subspace path — unlike eigh, whose pad_diag sinks
+    padding below every valid eigenvalue (advisor round-4 caveat,
+    models/geometry.py). The sqrt(1e-8) clamp bounds the impact: outputs
+    stay finite, padded rows stay at the 1e-4 clamp scale, and the valid
+    region matches eigh to the same scale."""
+    rng = np.random.default_rng(13)
+    l_pad, nres = 64, 6
+    assert geometry.SUBSPACE_MIN_L <= l_pad  # production gate routes subspace
+    dm = _realistic_dm(rng, l_pad, nres)
+    ref = np.asarray(mds_coords(dm, nres=nres, impl="eigh"))
+    got = np.asarray(mds_coords(dm, nres=nres, impl="subspace"))
+    assert np.isfinite(got).all()
+    scale = max(np.max(np.abs(ref)), 1e-6)
+    # leading (positive) eigenpairs agree; rank-deficient trailing columns
+    # are clamped to sqrt(1e-8) in both paths, so deviation is clamp-scale
+    np.testing.assert_allclose(got[:nres], ref[:nres], atol=5e-2 * scale)
+    # eigh zeroes padded rows exactly; subspace may leave clamped
+    # zero-eigenvector components there, bounded by sqrt(1e-8) ~ 1e-4
+    assert np.abs(got[nres:]).max() <= 1e-3
