@@ -141,7 +141,17 @@ def _train_impl(data_dir, clusters, workdir, num_epochs, micro_batch,
     accum_steps = cfg.batch_size if accum_steps is None else accum_steps
     restart = cfg.restart if restart is None else restart
     refine_steps = cfg.refine_steps if refine_steps is None else refine_steps
-    train_list, validation_list = load_cluster_list(os.path.join(data_dir, clusters))
+    clusters_path = os.path.join(data_dir, clusters)
+    if not os.path.isfile(clusters_path):
+        # fall back to the packaged canonical list (identical to the
+        # reference's dmpfold/train_clust.lst; see example/README.md) so a
+        # standalone checkout trains without copying it into data_dir
+        from ..utils.assets import cluster_list_path
+
+        if os.path.isfile(cluster_list_path()):
+            print(f"{clusters_path} not found; using packaged cluster list")
+            clusters_path = cluster_list_path()
+    train_list, validation_list = load_cluster_list(clusters_path)
     print(f"{len(train_list)} training / {len(validation_list)} validation clusters")
 
     params = gruresnet.init_params(jax.random.PRNGKey(seed), **(model_kwargs or {}))

@@ -23,7 +23,9 @@ import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 
 
 def log(*a):

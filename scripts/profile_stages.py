@@ -25,7 +25,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 
 
 def log(*a):
@@ -119,19 +121,26 @@ def main():
     n_pad, l_pad = bucket_shape(252, 82)
     log(f"\n=== components at bucket ({n_pad}, {l_pad}), batch {batch} ===")
 
+    nres_b = jnp.full((batch,), 82, jnp.int32)
+    row_mask_b = (jnp.arange(l_pad)[None, :] < nres_b[:, None])
+    pair_mask_b = (row_mask_b[:, :, None] & row_mask_b[:, None, :])[..., None]
+
     x = jnp.asarray(rng.normal(size=(batch, l_pad, l_pad, 955)), jnp.bfloat16)
-    ms = amortized_ms(
-        lambda v: trunk_apply(params["trunk"], v, compute_dtype=jnp.bfloat16,
-                              fused_conv=True), x, repeats=5)
-    log(f"trunk pass bf16+fused:  {ms:.2f} ms")
+    fused = "norm" if jax.default_backend() == "tpu" else False
+    ms_trunk = amortized_ms(
+        lambda v: trunk_apply(params["trunk"], v, pair_mask_b,
+                              compute_dtype=jnp.bfloat16, fused_conv=fused),
+        x, repeats=5)
+    log(f"trunk pass bf16 (fused_conv={fused!r}): {ms_trunk:.2f} ms")
 
     gram = rng.normal(size=(batch, l_pad, l_pad)).astype(np.float32)
     gram = jnp.asarray(gram + np.swapaxes(gram, 1, 2))
-    nres_b = jnp.full((batch,), 82, jnp.int32)
-    ms = amortized_ms(
-        lambda v: jax.vmap(lambda d, nr: geometry.mds_coords(d, nr))(v, nres_b),
+    mds_impl = "subspace" if jax.default_backend() == "tpu" else "eigh"
+    ms_mds = amortized_ms(
+        lambda v: jax.vmap(lambda d, nr: geometry.mds_coords(
+            d, nr, impl=mds_impl))(v, nres_b),
         gram, repeats=10)
-    log(f"MDS (eigh+coords) B={batch}: {ms:.2f} ms")
+    log(f"MDS ({mds_impl}+coords) B={batch}: {ms_mds:.2f} ms")
 
     ca = jnp.asarray(rng.normal(size=(batch, l_pad, 3)) * 3, jnp.float32)
     ms = amortized_ms(
@@ -174,8 +183,70 @@ def main():
         def vgru_w(v):
             l0 = dict(layers[0]); l0["wi"] = v
             return vgru_final_cols_pallas([l0] + list(layers[1:]), aln_cols, col_valid)
-        ms = amortized_ms(vgru_w, layers[0]["wi"], repeats=5)
-        log(f"vgru (pallas, batched) B={batch}: {ms:.2f} ms")
+        ms_vgru = amortized_ms(vgru_w, layers[0]["wi"], repeats=5)
+        log(f"vgru (pallas, batched) B={batch}: {ms_vgru:.2f} ms")
+
+    # --- remaining base-pass components (round-4 verdict item 2: the
+    # budget's rows must sum to the measured fold, so every stage needs a
+    # line — these were the unmeasured ones). Exact production call shapes
+    # (gruresnet.forward_batched:287-313).
+    from dmpfold2_tpu.models import gruresnet
+
+    rgru = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    # hgru (bidirectional residue GRU over the vgru summary) + pair outer
+    seq_embed = jnp.asarray(rng.normal(size=(batch, l_pad, 512)), jnp.float32)
+
+    def hgru_outer(v):
+        hin = jnp.transpose(v, (1, 0, 2))                     # (L, B, 512)
+        mat1d = gruresnet._bigru(params["hgru"], hin, nres_b, None, rgru)
+        mat1d = (jnp.transpose(mat1d, (1, 0, 2))
+                 * row_mask_b[..., None].astype(jnp.float32))
+        return mat1d[:, :, None, :] * mat1d[:, None, :, :]    # (B, L, L, 512)
+
+    ms_hgru = amortized_ms(hgru_outer, seq_embed, repeats=5)
+    log(f"hgru+pair outer B={batch}: {ms_hgru:.2f} ms")
+
+    # coord head: 3-layer biGRU over the (mat1d | mds) embed + linear
+    cemb = jnp.asarray(rng.normal(size=(batch, l_pad, 520)), jnp.float32)
+
+    def coord_head(v):
+        g = gruresnet._bigru(params["coord_gru"], jnp.transpose(v, (1, 0, 2)),
+                             nres_b, None, rgru)
+        return jnp.transpose(g, (1, 0, 2)) @ params["coord_fc"]
+
+    ms_head = amortized_ms(coord_head, cemb, repeats=5)
+    log(f"coord head (3x biGRU+fc, {rgru}) B={batch}: {ms_head:.2f} ms")
+
+    # backbone completion (runs once per fold)
+    ca = jnp.asarray(rng.normal(size=(batch, l_pad, 3)) * 3, jnp.float32)
+    ms_bb = amortized_ms(
+        lambda v: jax.vmap(gruresnet.calpha_to_main_chain)(v, nres_b),
+        ca, repeats=10)
+    log(f"backbone completion B={batch}: {ms_bb:.2f} ms")
+
+    # --- budget summary: device component rows vs the measured per-batch
+    # wall-clock splits (gap = dispatch/host/concat work not covered by a
+    # component row — the round-4 93%-kernel-vs-71%-pipeline question)
+    n_batches = -(-n_targets // batch)
+    base_ms = t_norecycle / n_batches * 1000
+    rec_ms = per_recycle / n_batches * 1000       # one recycle, one batch
+    ref_ms = refine_cost / n_batches * 1000
+    full_ms = t_full / n_batches * 1000
+    per_pass = ms_trunk + ms_mds + ms_head        # shared by base + recycle
+    log(f"\n=== budget (ms per batch of {batch}, bucket ({n_pad}, {l_pad})) ===")
+    log(f"  component rows: trunk {ms_trunk:.1f} + MDS {ms_mds:.1f} + "
+        f"head {ms_head:.1f} = per-pass {per_pass:.1f}")
+    log(f"  measured per recycle:    {rec_ms:8.1f}   "
+        f"(gap vs components: {rec_ms - per_pass:+.1f} = dmap rebuild + "
+        "best-by-conf select)")
+    base_components = per_pass + ms_hgru + ms_bb  # + vgru + DCA (printed above)
+    log(f"  measured base t(0,0):    {base_ms:8.1f}   "
+        f"(components excl. vgru/DCA/dispatch: {base_components:.1f})")
+    log(f"  measured refine 2x100:   {ref_ms:8.1f}")
+    log(f"  measured full t(10,100): {full_ms:8.1f}   "
+        f"(= base + 10x recycle + refine: "
+        f"{base_ms + 10 * rec_ms + ref_ms:.1f})")
 
 
 if __name__ == "__main__":

@@ -15,13 +15,15 @@ from dmpfold2_tpu.weights import convert_state_dict, load_params, save_params
 
 from torch_oracle import OracleGRUResNet
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 
 pytestmark = pytest.mark.skipif(
     not __import__("os").path.exists(EXAMPLE_ALN),
     reason="reference example data not mounted",
 )
-EXAMPLE_PDB = "/root/reference/dmpfold/example/3FGX.pdb"
+EXAMPLE_PDB = assets.example_template_path()
 
 
 @pytest.fixture(scope="module")

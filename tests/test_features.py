@@ -14,7 +14,9 @@ from dmpfold2_tpu.features.msa import msa_one_hot, reweight
 from dmpfold2_tpu.features.dca import dca_or_zero, fast_dca
 from dmpfold2_tpu.utils import aln
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 
 pytestmark = pytest.mark.skipif(
     not __import__("os").path.exists(EXAMPLE_ALN),

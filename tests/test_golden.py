@@ -23,7 +23,9 @@ import sys
 import pytest
 import jax
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 GOLDEN_TOY = os.path.join(GOLDEN_DIR, "pf10963_seed0.pdb")
 GOLDEN_FULL = os.path.join(GOLDEN_DIR, "pf10963_fullsize_default.pdb")

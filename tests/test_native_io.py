@@ -7,7 +7,9 @@ import pytest
 
 from dmpfold2_tpu.utils import aln, native
 
-EXAMPLE_ALN = "/root/reference/dmpfold/example/PF10963.aln"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_ALN = assets.example_aln_path()
 
 pytestmark = pytest.mark.skipif(
     not __import__("os").path.exists(EXAMPLE_ALN),

@@ -9,7 +9,9 @@ import pytest
 
 from dmpfold2_tpu.score import tm_d0, tm_score
 
-EXAMPLE_PDB = "/root/reference/dmpfold/example/3FGX.pdb"
+from dmpfold2_tpu.utils import assets
+
+EXAMPLE_PDB = assets.example_template_path()
 
 
 def _random_chain(n, seed=0):
