@@ -124,9 +124,14 @@ def forward(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
       coords (l_pad, 5, 3) and confidence (l_pad,) — valid through nres.
     """
     n_pad, l_pad = alnmat.shape
-    remat_recycle = remat == "recycle"
+    remat_recycle = remat in ("recycle", "recycle_save_conv")
     if remat_recycle:
-        remat = True  # trunk-level mode under the per-iteration checkpoint
+        # trunk-level mode under the per-iteration checkpoint: full-body
+        # block remat, or "save_conv" (bank each block's conv+maxout output
+        # inside the replayed pass so its backward skips the conv recompute
+        # — the hybrid tier that makes micro-batch 2 beat 2x micro-batch 1
+        # at crop 350; see train/step.py _resolve_remat)
+        remat = "save_conv" if remat == "recycle_save_conv" else True
     row_mask = jnp.arange(l_pad) < nres
     pair_mask = row_mask[:, None] & row_mask[None, :]
 
@@ -262,9 +267,14 @@ def forward_batched(params, alnmat, x2, nseqs, nres, nloops, refine_steps, *,
     Pallas conv (kernels/conv_block.py has a custom VJP but no vmap rule).
     """
     batch, n_rows, l_pad = alnmat.shape
-    remat_recycle = remat == "recycle"
+    remat_recycle = remat in ("recycle", "recycle_save_conv")
     if remat_recycle:
-        remat = True  # trunk-level mode under the per-iteration checkpoint
+        # trunk-level mode under the per-iteration checkpoint: full-body
+        # block remat, or "save_conv" (bank each block's conv+maxout output
+        # inside the replayed pass so its backward skips the conv recompute
+        # — the hybrid tier that makes micro-batch 2 beat 2x micro-batch 1
+        # at crop 350; see train/step.py _resolve_remat)
+        remat = "save_conv" if remat == "recycle_save_conv" else True
     row_mask = jnp.arange(l_pad)[None, :] < nres[:, None]           # (B, L)
     pair_mask = row_mask[:, :, None] & row_mask[:, None, :]          # (B, L, L)
     nres_f = jnp.asarray(nres, jnp.float32)
