@@ -109,6 +109,20 @@ def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
     "HTTP 500"; root-caused via scripts/bisect_batch4.py). Checkpointing
     the recycle scan body caps the peak at ~2 passes' worth for one extra
     trunk forward per recycle in the backward.
+
+    ``"recycle_save_conv"`` is the recycle tier with save_conv INSIDE the
+    replayed pass (one pass's banked conv outputs live at a time).
+    Measured crop 350 nloops 3 (scripts/probe_remat_tiers.py, round 5):
+    B=4 7.59 -> 7.00 s/step vs plain recycle (-8%), so it is the recycle
+    tier's default when one pass's residuals fit. The same probe shows why
+    no tier makes B=2 beat 2x B=1 (round-4 verdict item 4): any
+    recycle-level checkpoint adds a FULL extra trunk forward per pass to
+    the backward, which strictly exceeds the save_conv tail win (B=1:
+    1.204 save_conv vs 1.568 hybrid; B=2/sample: 1.256 full-body vs 1.454
+    hybrid vs 1.636 recycle), while pure save_conv at B=2 needs ~12 GB of
+    residuals (4 passes x 3 GB) — over HBM next to params+Adam state. The
+    recompute floor, not a policy gap: multi-chip DP training therefore
+    rides B=1-per-chip + gradient accumulation, as PERFORMANCE.md records.
     """
     # trunk geometry from the params pytree (NOT hard-coded defaults: tests
     # and experiments train smaller models, and a wrong estimate would pick
@@ -122,7 +136,11 @@ def _resolve_remat(params, batch_size: int, l_pad: int, nloops: int,
     # + the full-channel pass input (bf16)
     per_pass = area * (num_blocks * cwidth + in_channels) * 2
     if (nloops + 1) * per_pass > 9e9:
-        return "recycle"
+        # recycle tier: bank conv outputs inside the replayed pass when ONE
+        # pass's save_conv residuals fit (B=4 crop 350 measured: 6.1 GB,
+        # runs, -8% vs plain recycle)
+        one_pass_sc = num_blocks * area * cwidth * 6
+        return "recycle_save_conv" if one_pass_sc <= 7e9 else "recycle"
     per_elem = 6 if fused else 12  # bytes per (L², cwidth) element saved
     est = (nloops + 1) * num_blocks * area * cwidth * per_elem
     return "save_conv" if est <= 8e9 else True

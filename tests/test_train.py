@@ -296,8 +296,13 @@ def test_resolve_remat_policy():
 
     # micro-batch >= 4 at crop 350 with recycling: even full-body remat
     # banks ~(nloops+1) passes of block carries (~12 GB) — the step must
-    # pick recycle-level checkpointing (round-3 "HTTP 500" root cause)
-    assert _resolve_remat(full, 4, 352, 3, fused=True) == "recycle"
+    # pick recycle-level checkpointing (round-3 "HTTP 500" root cause).
+    # Round 5: within the recycle band, one pass's banked conv outputs fit
+    # at B=4 (6.1 GB measured running), so the hybrid tier is preferred...
+    assert _resolve_remat(full, 4, 352, 3, fused=True) == "recycle_save_conv"
+    # ...and plain recycle remains the fallback when even one pass's
+    # save_conv residuals would crowd HBM (B=8 crop 350: ~12 GB)
+    assert _resolve_remat(full, 8, 352, 3, fused=True) == "recycle"
     # no recycling: a single pass's residuals fit without the extra level
     assert _resolve_remat(full, 4, 352, 0, fused=True) in (True, "save_conv")
     assert _resolve_remat(full, 1, 352, 3, fused=True) == "save_conv"
@@ -328,20 +333,21 @@ def test_train_step_recycle_remat_runs():
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
     orig = step_mod._resolve_remat
-    step_mod._resolve_remat = lambda *a, **k: "recycle"
     try:
-        for native in (True, False):
-            new_params, _, metrics = train_step(
-                params, opt_state, batch, jax.random.PRNGKey(1),
-                optimizer=optimizer, nloops=2, refine_steps=2,
-                native_batch=native)
-            assert np.isfinite(float(metrics["loss"]))
-            delta = max(
-                float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-                for a, b in zip(jax.tree.leaves(params),
-                                jax.tree.leaves(new_params))
-                if np.asarray(a).size)
-            assert delta > 0.0
+        for tier in ("recycle", "recycle_save_conv"):
+            step_mod._resolve_remat = lambda *a, t=tier, **k: t
+            for native in (True, False):
+                new_params, _, metrics = train_step(
+                    params, opt_state, batch, jax.random.PRNGKey(1),
+                    optimizer=optimizer, nloops=2, refine_steps=2,
+                    native_batch=native)
+                assert np.isfinite(float(metrics["loss"]))
+                delta = max(
+                    float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                    for a, b in zip(jax.tree.leaves(params),
+                                    jax.tree.leaves(new_params))
+                    if np.asarray(a).size)
+                assert delta > 0.0
     finally:
         step_mod._resolve_remat = orig
 
