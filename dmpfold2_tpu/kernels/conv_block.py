@@ -476,6 +476,173 @@ def conv5x5_maxout_stats(x, w, b, gamma, beta, pool: int = 4, nres=None, *,
     return out, scale, shift
 
 
+def _gemm_kernel(x_ref, w_ref, b_ref, *refs, t_rows: int, cin: int,
+                 c_out: int, pool: int, with_stats: bool, l2: int = 0):
+    if with_stats:
+        nr_ref, i0_ref, o_ref, stat_ref = refs
+    else:
+        (o_ref,) = refs
+    group = c_out // pool
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[:]
+    out = acc[:, :group]
+    for p_idx in range(1, pool):
+        out = jnp.maximum(out, acc[:, p_idx * group : (p_idx + 1) * group])
+    o_ref[:] = out.astype(o_ref.dtype)
+    if with_stats:
+        # each GEMM row is one (i, j) pixel of its target; tiles never
+        # cross targets (t_rows | l1*l2, wrapper-enforced), so one nres per
+        # tile. Row r of this tile is the target's flat pixel i0 + r, i.e.
+        # map position (i, j) = divmod(i0 + r, l2) — validity is
+        # (i < nres) & (j < nres), matching conv5x5_maxout's masked stats.
+        k = pl.program_id(0)
+        nr = nr_ref[k]
+        row = i0_ref[k] + jax.lax.broadcasted_iota(
+            jnp.int32, (t_rows, 1), 0)[:, 0]
+        i_idx = row // l2
+        j_idx = row % l2
+        valid = ((i_idx < nr) & (j_idx < nr))[:, None]
+        masked = jnp.where(valid, out, 0.0)
+        s = jnp.sum(masked, axis=0)[None]
+        ss = jnp.sum(masked * masked, axis=0)[None]
+        stat_ref[0] = jnp.concatenate(
+            [s, ss, jnp.zeros((6, group), jnp.float32)], axis=0)
+
+
+def _gemm_tile(m_per_target: int, cin_pad: int, c_out: int, pool: int,
+               with_stats: bool) -> int:
+    """Largest row tile (multiple of 8, dividing the per-target pixel
+    count so tiles never cross targets) within the VMEM budget."""
+    group = c_out // pool
+    weights = cin_pad * c_out * 2
+    start = min(2048, m_per_target)
+    for t in range(start - start % 8, 0, -8):
+        if m_per_target % t != 0:
+            continue
+        x_t = t * cin_pad * 2
+        acc = t * c_out * 4
+        out = t * group * 2
+        if x_t + acc + out + weights <= 12 * 2 ** 20:
+            return t
+    return 0
+
+
+@partial(jax.jit, static_argnames=("pool", "interpret", "with_stats"))
+def gemm_maxout(x, w, b, pool: int = 3, nres=None, *,
+                interpret: bool = False, with_stats: bool = False):
+    """Fused 1x1 conv + bias + maxout (+ masked InstanceNorm partial sums).
+
+    The trunk's input layer (reference dmpfold/network.py:196: Maxout2d
+    955 -> 128*3, kernel 1) is a plain GEMM — but XLA's conv/dot emit the
+    pool-times-wider intermediate to HBM and re-read it for the maxout
+    (measured 6.3-9.4 ms at B=16 L=88, 15-22% of bf16 peak, ~13% of the
+    whole batched fold). This kernel tiles the GEMM over rows, keeps the
+    3x-wide accumulator in VMEM, and writes only the maxed group —
+    optionally with the same per-target masked InstanceNorm partial sums
+    as :func:`conv5x5_maxout` so the norm costs no extra HBM pass.
+
+    ``c_in`` is arbitrary (lane-padded to 128 internally); ``c_out/pool``
+    must be a multiple of 128 (lane-aligned maxout slices).
+    """
+    batch, l1, l2, cin = x.shape
+    c_out = w.shape[-1]
+    group = c_out // pool
+    perm = _perm_indices(c_out, pool)
+    w2 = w.reshape(cin, c_out)[:, perm]
+    b2 = b[perm]
+
+    cin_pad = -(-cin // 128) * 128
+    m_total = batch * l1 * l2
+    x_flat = x.astype(jnp.bfloat16).reshape(m_total, cin)
+    if cin_pad != cin:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, cin_pad - cin)))
+        w2 = jnp.pad(w2, ((0, cin_pad - cin), (0, 0)))
+
+    t_rows = _gemm_tile(l1 * l2, cin_pad, c_out, pool, with_stats)
+    if t_rows == 0 or m_total % t_rows != 0:
+        raise ValueError(f"no gemm_maxout tiling for shape {x.shape}; gate "
+                         "callers with gemm_maxout_fits()")
+    n_tiles = m_total // t_rows
+
+    in_specs = [
+        pl.BlockSpec((t_rows, cin_pad), lambda k: (k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [x_flat, w2.astype(jnp.bfloat16), b2.astype(jnp.float32)]
+    out_spec = pl.BlockSpec((t_rows, group), lambda k: (k, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m_total, group), jnp.bfloat16)
+    if with_stats:
+        if nres is None:
+            nres = jnp.full((batch,), l1, jnp.int32)
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * t_rows
+        nr_tile = jnp.asarray(nres, jnp.int32)[starts // (l1 * l2)]
+        i0_tile = starts % (l1 * l2)          # flat pixel offset in target
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        operands += [nr_tile, i0_tile]
+        stat_spec = pl.BlockSpec((1, 8, group), lambda k: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_spec = [out_spec, stat_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_tiles, 8, group), jnp.float32)]
+
+    out = pl.pallas_call(
+        partial(_gemm_kernel, t_rows=t_rows, cin=cin, c_out=c_out, pool=pool,
+                with_stats=with_stats, l2=l2),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    if with_stats:
+        tiles_per = (l1 * l2) // t_rows
+        stats = out[1].reshape(batch, tiles_per, 8, group).sum(axis=1)
+        return (out[0].reshape(batch, l1, l2, group), stats[:, 0],
+                stats[:, 1])
+    return out.reshape(batch, l1, l2, group)
+
+
+@partial(jax.jit, static_argnames=("pool", "interpret"))
+def gemm_maxout_norm(x, w, b, gamma, beta, pool: int = 3, nres=None,
+                     mask=None, *, eps: float = 1e-5,
+                     interpret: bool = False):
+    """Fused 1x1 conv + bias + maxout + masked InstanceNorm — the trunk's
+    input layer in one kernel pass (per-target statistics from the kernel
+    epilogue, exactly like :func:`conv5x5_maxout_norm` for the 5x5
+    blocks). Inference-only: training differentiates the unfused path."""
+    out, s, ss = gemm_maxout(x, w, b, pool, nres, interpret=interpret,
+                             with_stats=True)
+    batch, l_rows = x.shape[0], x.shape[1]
+    if nres is None:
+        count = jnp.full((batch, 1), float(l_rows * l_rows), jnp.float32)
+    else:
+        nr_f = jnp.asarray(nres, jnp.float32)[:, None]
+        count = jnp.maximum(nr_f * nr_f, 1.0)
+    mean = s / count
+    var = jnp.maximum(ss / count - mean * mean, 0.0)
+    scale = (gamma * jax.lax.rsqrt(var + eps)).astype(jnp.float32)
+    shift = beta - mean * scale
+    y = (out.astype(jnp.float32) * scale[:, None, None, :]
+         + shift[:, None, None, :])
+    if mask is not None:
+        y = y * mask
+    return y.astype(out.dtype)
+
+
+def gemm_maxout_fits(shape, c_out: int, pool: int = 3,
+                     with_stats: bool = False) -> bool:
+    """Lane alignment + tiling feasibility gate for :func:`gemm_maxout`."""
+    batch, l1, l2, cin = shape
+    if (c_out // pool) % 128 != 0:
+        return False
+    cin_pad = -(-cin // 128) * 128
+    t = _gemm_tile(l1 * l2, cin_pad, c_out, pool, with_stats)
+    return t > 0 and (batch * l1 * l2) % t == 0
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv5x5_maxout_diff(x, w, b, pool: int = 4, interpret: bool = False):
     """Differentiable fused conv+bias+maxout.

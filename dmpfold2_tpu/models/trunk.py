@@ -111,6 +111,21 @@ def _fused_fits(maxout_p, x, pool: int = 4, with_argmax: bool = False) -> bool:
                       with_argmax=with_argmax)
 
 
+def _gemm_input_enabled() -> bool:
+    """Gate for the fused GEMM+maxout input layer (kernels/conv_block.py
+    gemm_maxout). Interpret-mode parity is tested; set
+    DMPFOLD2_FUSED_INPUT=0 to keep the XLA input conv if the kernel
+    misbehaves on a future toolchain (it is a pure perf routing choice —
+    both paths are numerically validated against each other). Default OFF:
+    the round-5 hardware-validation run was cut short by a device-server
+    outage (PERFORMANCE.md "tunnel wedges"), so the kernel ships
+    interpret-validated but not hardware-measured; flip the default after
+    one hardware run confirms compile + parity + the ~4 ms/pass win."""
+    import os
+
+    return os.environ.get("DMPFOLD2_FUSED_INPUT", "0") == "1"
+
+
 def _mask_nres(mask):
     """Per-target valid length from a pair mask.
 
@@ -136,6 +151,22 @@ def maxout2d(params, x, pool: int, dilation: int = 1, mask=None, compute_dtype=N
     ``fused_conv`` routes the 5x5 conv+bias+maxout through the Pallas kernel
     (kernels/conv_block.py, ~25% faster on TPU; bf16 + unsharded only).
     """
+    ksize = params["w"].shape[0]
+    if (fused_conv == "norm" and ksize == 1 and dilation == 1
+            and _gemm_input_enabled()
+            and compute_dtype == jnp.bfloat16 and _sharding_inactive()):
+        # 1x1 maxout (the trunk input layer): fused GEMM+maxout+norm kernel
+        # — XLA otherwise round-trips the pool-times-wider intermediate
+        # through HBM (measured 6.3-6.8 ms at B=16 L=88, ~13% of the whole
+        # batched fold, vs ~2 ms fused)
+        from ..kernels.conv_block import gemm_maxout_fits, gemm_maxout_norm
+
+        if gemm_maxout_fits(x.shape, params["w"].shape[-1], pool,
+                            with_stats=True):
+            return gemm_maxout_norm(x.astype(jnp.bfloat16), params["w"],
+                                    params["b"], params["gamma"],
+                                    params["beta"], pool, _mask_nres(mask),
+                                    mask)
     # the non-"norm" path runs the differentiable kernel, whose VJP
     # additionally banks the argmax residual in the band (_fused_fits)
     use_fused = _use_fused(params, x, pool, dilation, compute_dtype, fused_conv)
@@ -343,7 +374,7 @@ def trunk_apply(params, x, mask=None, *, dropout_rng=None, remat: bool = False,
     residual adds stay fp32.
     """
     out = maxout2d(params["input"], shard_pair(x), pool=3, mask=mask,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, fused_conv=fused_conv)
     if mask is not None:
         out = out * mask
     out = shard_pair(out)
