@@ -389,16 +389,54 @@ def measure_targets_per_s(params, batch_size: int = 16, n_targets: int = 48) -> 
     return tps
 
 
+_RESULT = {
+    "metric": "PF10963 default fold (10 recycles + 100 minsteps) wall-clock",
+    "value": None, "unit": "s", "vs_baseline": None, "extra": {},
+}
+
+
+def _arm_watchdog(deadline_s: float):
+    """Emit whatever has been measured if the bench exceeds its deadline.
+
+    The tunneled device server intermittently stops completing programs
+    for 40-120 min (PERFORMANCE.md "tunnel wedges" — even a trivial matmul
+    from a fresh process hangs while client creation succeeds). A wedge
+    mid-bench must produce a partial JSON record, not an indefinite hang
+    of the driver.
+    """
+    import threading
+
+    def fire():
+        _RESULT["extra"]["watchdog"] = (
+            f"bench exceeded {deadline_s:.0f}s — device likely wedged "
+            "(see PERFORMANCE.md tunnel-wedge note); partial results")
+        print(json.dumps(_RESULT), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog(
+        float(os.environ.get("DMPFOLD2_BENCH_DEADLINE_S", 4500)))
+    extra = _RESULT["extra"]
     # train-step benchmark runs FIRST, in a budgeted subprocess, before this
     # process creates its own TPU client (one process owns the chip)
     # released-weights fidelity: detect a mount and verify (CPU subprocess,
     # before the parent grabs the chip). Offline: records the reason.
     released = measure_released_weights()
+    extra["released_weights"] = released
     log(f"released weights: {released.get('status')}"
         + (f" ({released.get('reason')})" if "reason" in released else ""))
 
     train_s, train_note = measure_train_step_guarded()
+    extra["train_step_bf16_crop350_s"] = (round(train_s, 3)
+                                          if train_s is not None else None)
+    extra["train_step_note"] = train_note
     if train_note:
         log(f"train-step benchmark skipped: {train_note}")
     else:
@@ -416,11 +454,19 @@ def main():
 
     params = get_bench_params()
     rpc_floor = measure_rpc_floor()
+    extra["rpc_floor_ms"] = round(rpc_floor * 1000, 2)
     trunk_ms = measure_trunk_ms_per_residue(params)
+    extra["trunk_ms_per_residue_L256"] = round(trunk_ms, 4)
     trunk_ms_bf16 = measure_trunk_ms_per_residue(params, precision="bf16")
+    extra["trunk_bf16_ms_per_residue_L256"] = round(trunk_ms_bf16, 4)
     ours = measure_ours(params)
+    _RESULT["value"] = round(ours["default"], 4)
+    extra["fastest_mode_s"] = round(ours["fastest"], 4)
+    extra["default_bf16_s"] = round(ours["default_bf16"], 4)
     tps = measure_targets_per_s(params)
+    extra["targets_per_s_default"] = round(tps, 3)
     long_s = measure_long_target(params)
+    extra["long_target_s"] = round(long_s, 2)
     ref = measure_reference_cpu()
 
     # MFU accounting (analytic dense FLOPs / wall-clock / v5e bf16 peak).
@@ -438,46 +484,31 @@ def main():
                                     mds="subspace")
     flops_long = fold_flops(*bucket_shape(3000, 720), 30, 100,
                             mds="subspace")
-    result = {
-        "metric": "PF10963 default fold (10 recycles + 100 minsteps) wall-clock",
-        "value": round(ours["default"], 4),
-        "unit": "s",
-        "vs_baseline": round(ref / ours["default"], 2),
-        "extra": {
-            "fastest_mode_s": round(ours["fastest"], 4),
-            "default_bf16_s": round(ours["default_bf16"], 4),
-            "template_n30_m200_s": round(ours["template_n30_m200"], 4),
-            "long_target_s": round(long_s, 2),
-            "trunk_ms_per_residue_L256": round(trunk_ms, 4),
-            "trunk_bf16_ms_per_residue_L256": round(trunk_ms_bf16, 4),
-            "targets_per_s_default": round(tps, 3),
-            "train_step_bf16_crop350_s": (round(train_s, 3)
-                                          if train_s is not None else None),
-            "train_step_note": train_note,
-            "reference_cpu_default_s": round(ref, 2),
-            "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
-            "mfu_default_bf16": round(
-                mfu(flops_default_bf16, ours["default_bf16"]), 4),
-            # single-dispatch latencies include the fixed tunnel RPC floor;
-            # the _device variants subtract it (on-chip estimates). The
-            # *_device_s seconds are the cross-round trend to watch —
-            # wall-clock regressions inside the ~28 ms floor noise band are
-            # not attributable (round-4 verdict weak item 2)
-            "rpc_floor_ms": round(rpc_floor * 1000, 2),
-            "default_device_s": round(
-                max(ours["default"] - rpc_floor, 0.0), 4),
-            "default_bf16_device_s": round(
-                max(ours["default_bf16"] - rpc_floor, 0.0), 4),
-            "mfu_default_bf16_device": round(
-                mfu(flops_default_bf16,
-                    max(ours["default_bf16"] - rpc_floor, 1e-9)), 4),
-            "mfu_batched_bf16": round(mfu(flops_default_bf16 * tps, 1.0), 4),
-            "mfu_long_target_bf16": round(mfu(flops_long, long_s), 4),
-            "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,
-            "released_weights": released,
-        },
-    }
-    print(json.dumps(result))
+    _RESULT["vs_baseline"] = round(ref / ours["default"], 2)
+    extra.update({
+        "template_n30_m200_s": round(ours["template_n30_m200"], 4),
+        "reference_cpu_default_s": round(ref, 2),
+        "flops_per_fold_default_tflop": round(flops_default / 1e12, 3),
+        "mfu_default_bf16": round(
+            mfu(flops_default_bf16, ours["default_bf16"]), 4),
+        # single-dispatch latencies include the fixed tunnel RPC floor;
+        # the _device variants subtract it (on-chip estimates). The
+        # *_device_s seconds are the cross-round trend to watch —
+        # wall-clock regressions inside the ~28 ms floor noise band are
+        # not attributable (round-4 verdict weak item 2)
+        "default_device_s": round(
+            max(ours["default"] - rpc_floor, 0.0), 4),
+        "default_bf16_device_s": round(
+            max(ours["default_bf16"] - rpc_floor, 0.0), 4),
+        "mfu_default_bf16_device": round(
+            mfu(flops_default_bf16,
+                max(ours["default_bf16"] - rpc_floor, 1e-9)), 4),
+        "mfu_batched_bf16": round(mfu(flops_default_bf16 * tps, 1.0), 4),
+        "mfu_long_target_bf16": round(mfu(flops_long, long_s), 4),
+        "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,
+    })
+    watchdog.cancel()
+    print(json.dumps(_RESULT))
 
 
 if __name__ == "__main__":
